@@ -1,0 +1,141 @@
+"""Vectorized audio decode + per-clip stats via mapInPandas.
+
+This is the UD5 surface from SURVEY.md §2.10: the reference has no audio
+path at all (its UDFs are per-row pandas ``apply`` lambdas,
+transform_service.py:349-350); the mandated replacement is Arrow-batched
+pandas UDFs with zero per-row *Python-level serde* — each batch arrives as
+one Arrow RecordBatch, and per-clip math is numpy on the clip's own vector.
+
+Scale notes (100TB / 10^12 clips):
+- decode cost ∝ dur_ms and varies by codec → before the decode stage we
+  ``salt_repartition`` on a *deterministic* hash of clip_id (no rand();
+  resume must be stable — SURVEY.md §7), which randomizes durations across
+  tasks; AQE handles residual skew.
+- stats are fixed-width per clip → output is tiny relative to input, so the
+  expensive `bytes` column never crosses a shuffle after this stage.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_profiler_spark.schemas import CLIP_STATS_SCHEMA
+
+
+def decode_pcm16(payload: bytes, codec: str) -> np.ndarray:
+    """Decode a pcm16_wav / pcm16_raw payload to float32 PCM in [-1, 1].
+
+    Raises ValueError on malformed input (caught per clip by decode_stats).
+    """
+    if payload is None:
+        raise ValueError("null payload")
+    if codec == "pcm16_wav":
+        if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        # Walk chunks to the 'data' chunk (public WAV container layout).
+        off = 12
+        data = None
+        while off + 8 <= len(payload):
+            cid, size = payload[off : off + 4], struct.unpack("<I", payload[off + 4 : off + 8])[0]
+            if cid == b"data":
+                data = payload[off + 8 : off + 8 + size]
+                break
+            off += 8 + size + (size & 1)
+        if data is None:
+            raise ValueError("no data chunk")
+    elif codec == "pcm16_raw":
+        data = payload
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
+    if len(data) % 2 != 0:
+        raise ValueError("odd byte length for pcm16")
+    if len(data) == 0:
+        raise ValueError("empty pcm payload")
+    return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    return struct.unpack("<I", payload[24:28])[0]
+
+
+def _stats_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out: dict[str, list] = {f.name: [] for f in CLIP_STATS_SCHEMA.fields}
+    for payload, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
+        row: dict = {
+            "decode_ok": False,
+            "decode_err": None,
+            "n_samples": None,
+            "decoded_ms": None,
+            "rms": None,
+            "peak": None,
+            "clip_ratio": None,
+            "zero_cross_rate": None,
+            "snr_db_vs_sine": None,
+        }
+        try:
+            x = decode_pcm16(payload, codec)
+            n = len(x)
+            sr_eff = int(sr) if sr and sr > 0 else 16000
+            row["decode_ok"] = True
+            row["n_samples"] = n
+            row["decoded_ms"] = 1000.0 * n / sr_eff
+            row["rms"] = float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
+            row["peak"] = float(np.max(np.abs(x)))
+            row["clip_ratio"] = float(np.mean(np.abs(x) > 0.999))
+            row["zero_cross_rate"] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+            # Tonal SNR proxy: energy of the dominant rFFT bin family vs rest.
+            if n >= 16:
+                spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+                k = int(np.argmax(spec[1:]) + 1)
+                sig = float(np.sum(spec[max(1, k - 2) : k + 3] ** 2))
+                rest = float(np.sum(spec[1:] ** 2) - sig)
+                row["snr_db_vs_sine"] = 10.0 * np.log10(sig / rest) if rest > 0 else float("inf")
+        except (ValueError, struct.error) as e:  # malformed payloads → verdict rows
+            row["decode_err"] = str(e)
+        for k2, v in row.items():
+            out[k2].append(v)
+    out["clip_id"] = list(pdf["clip_id"])
+    return pd.DataFrame(out, columns=[f.name for f in CLIP_STATS_SCHEMA.fields])
+
+
+def decode_stats(clips: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """Per-clip decoded-audio statistics (Arrow-batched mapInPandas).
+
+    Input needs columns (clip_id, bytes, sr_hz, codec); ``passthrough``
+    columns (e.g. dur_ms, partition_id) are carried through the UDF so the
+    consistency checks never need a clip_id self-join afterwards — the wide
+    ``bytes`` column is dropped here and never crosses a shuffle. Output is
+    CLIP_STATS_SCHEMA + passthrough fields.
+    """
+    passthrough = [c for c in (passthrough or []) if c not in {f.name for f in CLIP_STATS_SCHEMA.fields}]
+    in_fields = {f.name: f for f in clips.schema.fields}
+    out_schema = T.StructType(list(CLIP_STATS_SCHEMA.fields) + [in_fields[c] for c in passthrough])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                stats = _stats_batch(pdf)
+                for c in passthrough:
+                    stats[c] = pdf[c].to_numpy()
+                yield stats
+
+    cols = ["clip_id", "bytes", "sr_hz", "codec"] + passthrough
+    return clips.select(*cols).mapInPandas(op, schema=out_schema)
+
+
+def salt_repartition(df: DataFrame, num_partitions: int, key: str = "clip_id") -> DataFrame:
+    """Deterministic salt + repartition to kill codec/duration skew.
+
+    xxhash64 of the key (never rand() — a resumed run must land rows in the
+    same buckets) spreads long/short clips uniformly across tasks, so a task
+    is never stuck with all the 15s pcm16_wav clips while others idle.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).alias("__salt")
+    return df.repartition(num_partitions, salt)

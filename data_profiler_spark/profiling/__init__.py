@@ -1,0 +1,7 @@
+from data_profiler_spark.profiling.profile import (  # noqa: F401
+    column_profile,
+    fences_from_profile,
+    histogram,
+    outlier_counts,
+    top_freq,
+)

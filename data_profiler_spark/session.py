@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is a stand-in for a multi-executor cluster: every conf here is one
+we would set identically on a 1000-executor cluster (AQE, Arrow, skew join),
+except ``shuffle.partitions`` which scales with cluster cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs we would carry verbatim to a real cluster.
+CLUSTER_CONFS: dict[str, str] = {
+    # AQE: runtime re-planning — coalesces tiny post-shuffle partitions and
+    # splits skewed ones; essential when decode cost varies by dur_ms/codec.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for all pandas UDF / mapInPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Deterministic timestamp semantics vs external oracles (DuckDB is UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # At 100TB the default 128MB split is right; keep explicit so it is a
+    # conscious choice, not a default.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "data_profiler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
+    partitions default to 2×cores (small local data; on a real cluster this
+    is sized by data volume / 128MB and AQE coalesces down).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in CLUSTER_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

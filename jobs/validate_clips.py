@@ -1,0 +1,88 @@
+"""spark-submit entrypoint for the clips validation engine.
+
+Cluster usage (the north_rule launch contract)::
+
+    zip -r dps.zip data_profiler_spark
+    spark-submit --py-files dps.zip jobs/validate_clips.py \
+        --n 100000 --output /lake/profiler_out --partitions 256
+
+Local sandbox usage is identical with --cores N (maps to local[N]).
+The job generates (or reads) the clips+transcripts tables, runs the full
+validation suite (profile + constraints + drift + verdicts), commits the
+per-partition manifest, and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10000, help="synthetic clips to generate")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--corrupt", action="store_true", help="inject seeded corruptions")
+    ap.add_argument("--output", required=True, help="output root (parquet table IO)")
+    ap.add_argument("--partitions", type=int, default=32, help="logical manifest partitions")
+    ap.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox)")
+    ap.add_argument("--write-baseline", action="store_true", help="persist drift baseline and exit")
+    ap.add_argument("--limit-partitions", type=int, default=None, help="simulate a killed job")
+    ap.add_argument("--clips-path", default=None, help="read clips parquet instead of generating")
+    args = ap.parse_args()
+
+    from data_profiler_spark import fixtures
+    from data_profiler_spark.plans.runner import ValidationRun, summarize
+    from data_profiler_spark.session import get_spark
+    from data_profiler_spark.sources.tableio import ParquetTableIO
+
+    spark = get_spark(app_name="validate_clips", cores=args.cores,
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    io = ParquetTableIO(args.output)
+    run = ValidationRun(spark, io, n_partitions=args.partitions)
+
+    if args.clips_path:
+        clips = spark.read.parquet(args.clips_path)
+    else:
+        corr = (
+            fixtures.Corruptions(
+                null_clip_id_every=997,
+                duplicate_clip_id_every=491,
+                bad_dur_every=379,
+                undecodable_every=617,
+                null_transcript_every=739,
+            )
+            if args.corrupt
+            else fixtures.CLEAN
+        )
+        clips = fixtures.generate_clips(spark, args.n, seed=args.seed, corruptions=corr)
+
+    if args.write_baseline:
+        run.write_baseline(clips)
+        print(json.dumps({"baseline": "written", "output": args.output}))
+        spark.stop()
+        return 0
+
+    transcripts = fixtures.generate_transcripts(spark, args.n, seed=args.seed)
+    res = run.run(clips, transcripts=transcripts, limit_partitions=args.limit_partitions)
+
+    print(summarize(res), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "snapshot_id": res.snapshot_id,
+                "partitions_processed": len(res.partitions_processed),
+                "rows": res.rows,
+                "clips_per_sec": round(res.clips_per_sec, 1),
+                "wall_sec": round(res.wall_sec, 2),
+                "all_passed": res.all_passed,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if res.all_passed or args.corrupt else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

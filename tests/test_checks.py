@@ -1,0 +1,124 @@
+"""Verdict parity: seeded corruptions must produce the expected pass/fail +
+violation rows — mirroring DataDirectoryValidation.errors_list semantics
+(/root/reference/data_profiler/helpers/data_directory.py:304-362)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark import fixtures
+from data_profiler_spark.checks import (
+    check_not_null,
+    check_pk_not_null,
+    check_referential,
+    check_unique,
+    coerce_with_defaults,
+    verdicts,
+    with_partition_id,
+)
+
+N = 200
+SEED = 42
+
+
+def _counts(violations_df):
+    return {
+        r["check_name"]: r["n"]
+        for r in violations_df.groupBy("check_name").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_pk_not_null_and_empty(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["a", None, "", "  ", "b"]})
+    )
+    v = check_pk_not_null(with_partition_id(df, 4)).collect()
+    assert len(v) == 3  # null, empty, whitespace-only
+
+
+def test_unique_detects_duplicates(spark):
+    df = spark.createDataFrame(pd.DataFrame({"clip_id": ["a", "b", "a", "c", "a", "b"]}))
+    v = check_unique(df, n_partitions=4).collect()
+    got = {r["clip_id"]: r["detail"] for r in v}
+    assert set(got) == {"a", "b"}
+    assert "count=3" in got["a"] and "count=2" in got["b"]
+
+
+def test_referential_orphans(spark):
+    child = spark.createDataFrame(pd.DataFrame({"clip_id": ["a", "b", "x", "y", "b"]}))
+    parent = spark.createDataFrame(pd.DataFrame({"clip_id": ["a", "b", "c"]}))
+    v = check_referential(child, parent, n_partitions=4).collect()
+    assert sorted(r["clip_id"] for r in v) == ["x", "y"]
+
+
+def test_seeded_corruptions_expected_verdicts(spark):
+    """The end-to-end verdict table for a known corruption spec."""
+    corr = fixtures.Corruptions(
+        null_clip_id_every=50, duplicate_clip_id_every=33, null_transcript_every=40
+    )
+    clips = with_partition_id(fixtures.generate_clips(spark, N, seed=SEED, corruptions=corr), 8)
+    # expected counts from the corruption spec (i>0, i%k==0; precedence:
+    # null > empty > duplicate in make_clip_row)
+    exp_null = len([i for i in range(1, N) if i % 50 == 0])
+    exp_dup_rows = len([i for i in range(1, N) if i % 33 == 0 and i % 50 != 0])
+    exp_null_tr = len([i for i in range(1, N) if i % 40 == 0])
+
+    vio = (
+        check_pk_not_null(clips)
+        .unionByName(check_unique(clips, n_partitions=8))
+        .unionByName(check_not_null(clips, "transcript"))
+    )
+    got = _counts(vio)
+    assert got["pk_not_null"] == exp_null
+    assert got["pk_unique"] == exp_dup_rows  # each dup key duplicated once
+    assert got["transcript_not_null"] == exp_null_tr
+
+    totals = clips.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_checked"))
+    verd = verdicts(vio, totals, ["pk_not_null", "pk_unique", "transcript_not_null"])
+    agg = {
+        r["check_name"]: (r["passed"], r["violations"])
+        for r in verd.groupBy("check_name")
+        .agg(F.min("passed").alias("passed"), F.sum("violation_count").alias("violations"))
+        .collect()
+    }
+    assert agg["pk_not_null"] == (False, exp_null)
+    assert agg["pk_unique"] == (False, exp_dup_rows)
+    # every check × partition combination has an explicit verdict row
+    assert verd.count() == 3 * totals.count()
+    # rows_checked totals the partition size
+    assert verd.groupBy("check_name").agg(F.sum("rows_checked").alias("s")).collect()[0]["s"] == N
+
+
+def test_clean_table_all_pass(spark):
+    clips = with_partition_id(fixtures.generate_clips(spark, 100, seed=SEED), 4)
+    vio = check_pk_not_null(clips).unionByName(check_unique(clips, n_partitions=4))
+    totals = clips.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_checked"))
+    verd = verdicts(vio, totals, ["pk_not_null", "pk_unique"])
+    assert verd.filter(~F.col("passed")).count() == 0
+    assert verd.count() == 2 * 4
+
+
+def test_coercion_defaults_match_reference(spark):
+    """Type coercion + default fill (data_file_functions.py:90-103):
+    uncastable → coerce → count → fill with type default."""
+    pdf = pd.DataFrame(
+        {
+            "SKU": ["a", None, "c"],
+            "Quantity": ["1.5", "oops", None],
+            "Period": ["2024-01-02", "bad", "2024-03-04"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out, counts = coerce_with_defaults(
+        df, {"SKU": "object", "Quantity": "float64", "Period": "date"}
+    )
+    c = {r["column"]: r["value"] for r in counts.collect()}
+    assert c == {"SKU": 1, "Quantity": 2, "Period": 1}
+    rows = out.orderBy("SKU").collect()
+    got = {(r["SKU"], r["Quantity"], str(r["Period"])) for r in rows}
+    assert ("", 0.0, "1900-01-01") in got  # null SKU → '' ; 'oops' qty → 0.0...
+    vals = {r["SKU"]: (r["Quantity"], str(r["Period"])) for r in rows}
+    assert vals["a"] == (1.5, "2024-01-02")
+    assert vals["c"] == (0.0, "2024-03-04")

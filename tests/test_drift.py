@@ -1,0 +1,78 @@
+"""PSI / KS drift tests vs hand-computed oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_profiler_spark.drift import ks_binned, ks_exact_by_group, psi
+from data_profiler_spark.profiling import histogram
+
+
+def _hist(spark, values, lo, hi, nb, col="v"):
+    df = spark.createDataFrame(pd.DataFrame({col: values}))
+    return histogram(df, col, lo, hi, nb)
+
+
+def test_psi_zero_for_identical(spark):
+    rng = np.random.default_rng(1)
+    x = rng.normal(50, 10, 4000)
+    h = _hist(spark, x, 0, 100, 20)
+    r = psi(h, h).collect()[0]
+    assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_detects_shift(spark):
+    rng = np.random.default_rng(2)
+    base = _hist(spark, rng.normal(50, 10, 4000), 0, 100, 20)
+    cur = _hist(spark, rng.normal(65, 10, 4000), 0, 100, 20)
+    r = psi(cur, base).collect()[0]
+    assert r["psi"] > 0.25  # standard "drifted" threshold
+
+
+def test_psi_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(3)
+    a, b = rng.normal(48, 9, 3000), rng.normal(52, 11, 3000)
+    lo, hi, nb = 0.0, 100.0, 10
+    cur, base = _hist(spark, a, lo, hi, nb), _hist(spark, b, lo, hi, nb)
+    got = psi(cur, base).collect()[0]["psi"]
+    edges = np.linspace(lo, hi, nb + 1)
+    ca = np.histogram(a, bins=edges)[0].astype(float)
+    cb = np.histogram(b, bins=edges)[0].astype(float)
+    # align to width_bucket buckets incl. under/overflow (none here)
+    p = ca / ca.sum() + 1e-6
+    q = cb / cb.sum() + 1e-6
+    exp = float(((p - q) * np.log(p / q)).sum())
+    assert got == pytest.approx(exp, rel=1e-6)
+
+
+def test_ks_binned_approximates_exact(spark):
+    rng = np.random.default_rng(4)
+    a, b = rng.normal(50, 10, 5000), rng.normal(56, 10, 5000)
+    cur, base = _hist(spark, a, 0, 100, 50), _hist(spark, b, 0, 100, 50)
+    got = ks_binned(cur, base).collect()[0]["ks_d"]
+    sa, sb = np.sort(a), np.sort(b)
+    allv = np.concatenate([sa, sb])
+    exact = np.max(
+        np.abs(
+            np.searchsorted(sa, allv, side="right") / len(sa)
+            - np.searchsorted(sb, allv, side="right") / len(sb)
+        )
+    )
+    assert got == pytest.approx(exact, abs=0.03)  # ≤ max bucket mass
+
+
+def test_ks_exact_by_group(spark):
+    rng = np.random.default_rng(5)
+    base = pd.DataFrame({"v": rng.normal(0, 1, 2000)})
+    same = rng.normal(0, 1, 1500)
+    shifted = rng.normal(1.0, 1, 1500)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["same"] * len(same) + ["shift"] * len(shifted), "v": np.concatenate([same, shifted])}
+        )
+    )
+    got = {r["g"]: r["ks_d"] for r in ks_exact_by_group(df, "v", ["g"], base).collect()}
+    assert got["same"] < 0.05
+    assert got["shift"] > 0.3
