@@ -1,0 +1,283 @@
+"""Operator-parity corpus, engine half: the validation engine's own
+operators (profiling, constraint checks, per-partition verdicts, drift)
+exercised over the TPC-H-ish testdata so the DuckDB oracle can check them,
+plus rows-only entries for the genuinely non-SQL paths (HLL/GK sketches live
+in corpus_relational; audio decode + exact-KS applyInPandas live here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_profiler_spark.audio.decode import decode_stats
+from data_profiler_spark.checks import constraints
+from data_profiler_spark.drift.drift import ks_exact_by_group, psi
+from data_profiler_spark.fixtures import generate_clips
+from data_profiler_spark.operators.corpus_relational import T
+from data_profiler_spark.profiling.profile import column_profile, outlier_counts
+
+# --- engine uniqueness check (check_unique → J7/A1 semantics) ---------------
+
+def check_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    v = constraints.check_unique(li, key="l_orderkey", name="pk_unique")
+    return v.select(
+        "check_name",
+        F.col("clip_id").alias("key_value"),
+        "detail",
+    )
+
+
+CHECK_UNIQUE_SQL = """
+SELECT 'pk_unique' AS check_name,
+       CAST(l_orderkey AS VARCHAR) AS key_value,
+       'duplicate key, count=' || CAST(COUNT(*) AS VARCHAR) AS detail
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+"""
+
+
+# --- engine referential check (left_anti, functions.py:68-78) ---------------
+
+def check_referential_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("part_ref"))
+    parent = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 25)
+        .select(F.col("p_partkey").alias("part_ref"))
+    )
+    v = constraints.check_referential(
+        li, parent, key="part_ref", name="fk_in_pk", detail="foreign key not present in parent"
+    )
+    return v.select("check_name", F.col("clip_id").alias("key_value"), "detail")
+
+
+CHECK_REFERENTIAL_SQL = """
+SELECT DISTINCT 'fk_in_pk' AS check_name,
+       CAST(l_partkey AS VARCHAR) AS key_value,
+       'foreign key not present in parent' AS detail
+FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_size < 25 AND p_partkey = l_partkey)
+"""
+
+
+# --- per-partition verdict grid (models/DataFiles.py:52-77 semantics) --------
+
+N_GRID_PARTS = 32
+
+
+def verdict_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two checks × 32 hash partitions of lineitem: explicit PASS rows for
+    clean partitions, violation counts for dirty ones — the engine's
+    verdicts() on an oracle-reproducible partitioner (key % 32)."""
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "partition_id", (F.col("l_orderkey") % N_GRID_PARTS).cast("int")
+    )
+    totals = li.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_checked"))
+    v_qty = li.filter(F.col("l_quantity") > 45).select(
+        F.lit("qty_le_45").alias("check_name"),
+        F.col("l_orderkey").cast("string").alias("clip_id"),
+        F.col("partition_id"),
+        F.lit("quantity above 45").alias("detail"),
+    )
+    v_disc = li.filter(F.col("l_discount") < 0).select(
+        F.lit("disc_nonneg").alias("check_name"),
+        F.col("l_orderkey").cast("string").alias("clip_id"),
+        F.col("partition_id"),
+        F.lit("negative discount").alias("detail"),
+    )
+    out = constraints.verdicts(
+        v_qty.unionByName(v_disc), totals, ["qty_le_45", "disc_nonneg"]
+    )
+    return out.select(
+        "check_name",
+        "partition_id",
+        F.col("passed").cast("int").alias("passed"),
+        "violation_count",
+        "rows_checked",
+    )
+
+
+VERDICT_GRID_SQL = f"""
+WITH t AS (
+  SELECT CAST(l_orderkey % {N_GRID_PARTS} AS INT) AS partition_id, COUNT(*) AS rows_checked
+  FROM lineitem GROUP BY 1
+), v1 AS (
+  SELECT CAST(l_orderkey % {N_GRID_PARTS} AS INT) AS partition_id, COUNT(*) AS vc
+  FROM lineitem WHERE l_quantity > 45 GROUP BY 1
+), v2 AS (
+  SELECT CAST(l_orderkey % {N_GRID_PARTS} AS INT) AS partition_id, COUNT(*) AS vc
+  FROM lineitem WHERE l_discount < 0 GROUP BY 1
+)
+SELECT 'qty_le_45' AS check_name, t.partition_id,
+       CAST(COALESCE(v1.vc, 0) = 0 AS INT) AS passed,
+       CAST(COALESCE(v1.vc, 0) AS BIGINT) AS violation_count,
+       CAST(t.rows_checked AS BIGINT) AS rows_checked
+FROM t LEFT JOIN v1 USING (partition_id)
+UNION ALL
+SELECT 'disc_nonneg', t.partition_id,
+       CAST(COALESCE(v2.vc, 0) = 0 AS INT),
+       CAST(COALESCE(v2.vc, 0) AS BIGINT),
+       CAST(t.rows_checked AS BIGINT)
+FROM t LEFT JOIN v2 USING (partition_id)
+"""
+
+
+# --- profiling pass 1 (describe_data_frame, data_profiler.py:462-562) --------
+
+_PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_ORACLE_METRICS = ["count", "null_count", "null_rate", "min", "max", "mean"]
+
+
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    prof = column_profile(li, _PROF_COLS)
+    return (
+        prof.filter(F.col("metric").isin(_ORACLE_METRICS))
+        .select("column", "metric", F.round("value", 4).alias("value"))
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROF_COLS:
+        parts += [
+            f"SELECT '{c}' AS \"column\", 'count' AS metric, ROUND(CAST(COUNT({c}) AS DOUBLE), 4) AS value FROM lineitem",
+            f"SELECT '{c}', 'null_count', ROUND(CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS DOUBLE), 4) FROM lineitem",
+            f"SELECT '{c}', 'null_rate', ROUND(CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS DOUBLE) / NULLIF(COUNT(*), 0), 4) FROM lineitem",
+            f"SELECT '{c}', 'min', ROUND(CAST(MIN({c}) AS DOUBLE), 4) FROM lineitem",
+            f"SELECT '{c}', 'max', ROUND(CAST(MAX({c}) AS DOUBLE), 4) FROM lineitem",
+            f"SELECT '{c}', 'mean', ROUND(AVG({c}), 4) FROM lineitem",
+        ]
+    return " UNION ALL ".join(parts)
+
+
+# --- profiling pass 2: fence-conditional counts (data_profiler.py:541-562) ---
+
+_FENCES = {
+    "l_quantity": {
+        "lower_fence": 5.0,
+        "upper_fence": 45.0,
+        "extreme_upper_fence": 49.0,
+    },
+    "l_discount": {
+        "lower_fence": 0.01,
+        "upper_fence": 0.09,
+        "extreme_upper_fence": 0.10,
+    },
+}
+
+
+def profile_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return outlier_counts(li, _FENCES).select("column", "metric", "value")
+
+
+def _outlier_sql() -> str:
+    parts = []
+    for c, f in _FENCES.items():
+        conds = {
+            "negative_count": f"{c} < 0",
+            "zero_count": f"{c} = 0",
+            "below_lower_fence": f"{c} < {f['lower_fence']}",
+            "above_upper_fence": f"{c} > {f['upper_fence']}",
+            "above_extreme_fence": f"{c} > {f['extreme_upper_fence']}",
+        }
+        for m, cond in conds.items():
+            parts.append(
+                f"SELECT '{c}' AS \"column\", '{m}' AS metric, "
+                f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS DOUBLE) AS value FROM lineitem"
+            )
+    return " UNION ALL ".join(parts)
+
+
+# --- PSI drift between two event populations (drift/drift.py) ----------------
+
+PSI_LO, PSI_HI, PSI_N = 0.0, 200.0, 20
+
+
+def _event_hist(ev: DataFrame, width: float) -> DataFrame:
+    v = F.col("value")
+    bucket = (
+        F.when(v < PSI_LO, F.lit(0))
+        .when(v >= PSI_HI, F.lit(PSI_N + 1))
+        .otherwise(F.floor((v - PSI_LO) / width) + 1)
+    )
+    return (
+        ev.filter(v.isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("column", F.lit("value"))
+    )
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of purchase-event values vs the view/click baseline, through the
+    engine's psi() histogram-join pipeline."""
+    ev = T(spark, sf_dir, "events")
+    width = (PSI_HI - PSI_LO) / PSI_N
+    cur = _event_hist(ev.filter(F.col("event_type") == "purchase"), width)
+    base = _event_hist(ev.filter(F.col("event_type").isin("view", "click")), width)
+    return psi(cur, base).select("column", F.round("psi", 6).alias("psi"))
+
+
+PSI_DRIFT_SQL = f"""
+WITH cur AS (
+  SELECT CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
+              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
+         COUNT(*) AS c_cnt
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+), base AS (
+  SELECT CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
+              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
+         COUNT(*) AS b_cnt
+  FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT COALESCE(cur.bucket, base.bucket) AS bucket,
+         COALESCE(c_cnt, 0) AS c_cnt, COALESCE(b_cnt, 0) AS b_cnt
+  FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket
+), t AS (SELECT SUM(c_cnt) AS c_tot, SUM(b_cnt) AS b_tot FROM j)
+SELECT 'value' AS "column",
+       ROUND(SUM((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6 - (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))
+             * ln((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) / (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))), 6) AS psi
+FROM j, t
+"""
+
+
+# --- rows-only entries (non-SQL-expressible paths) ---------------------------
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas WAV/PCM decode over a deterministic synthetic clips table
+    (no SQL oracle — binary decode; fidelity is pytest's job, tests/test_audio.py)."""
+    clips = generate_clips(spark, 256, seed=42, partitions=8)
+    stats = decode_stats(clips)
+    return stats.select(
+        "clip_id",
+        "decode_ok",
+        F.round("decoded_ms", 2).alias("decoded_ms"),
+        F.round("rms", 5).alias("rms"),
+        F.round("peak", 5).alias("peak"),
+    )
+
+
+def ks_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS per event_type vs the 'view' baseline via
+    applyInPandas (no SQL oracle — vectorized numpy path)."""
+    ev = T(spark, sf_dir, "events")
+    baseline = (
+        ev.filter(F.col("event_type") == "view").select("value").toPandas()
+    )
+    out = ks_exact_by_group(ev, "value", ["event_type"], baseline)
+    return out.select("event_type", F.round("ks_d", 4).alias("ks_d"), "n")
+
+
+ENGINE_QUERIES = {
+    "check_unique_violations": (check_unique_violations, CHECK_UNIQUE_SQL),
+    "check_referential_violations": (check_referential_violations, CHECK_REFERENTIAL_SQL),
+    "verdict_grid": (verdict_grid, VERDICT_GRID_SQL),
+    "profile_column_stats": (profile_column_stats, _profile_sql()),
+    "profile_outlier_counts": (profile_outlier_counts, _outlier_sql()),
+    "psi_drift": (psi_drift, PSI_DRIFT_SQL),
+    "audio_decode_stats": (audio_decode_stats, None),
+    "ks_exact_drift": (ks_exact_drift, None),
+}

@@ -1,0 +1,423 @@
+"""Operator-parity corpus, training-data-pipeline half: dedup, text
+analysis, similarity search over the ``documents``/``embeddings`` testdata
+tables, each with a DuckDB oracle that replicates the exact expression tree
+(identical double-fold order, md5-based portable hashes, same tie-breaks) so
+results match bit-for-bit after fixed rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions.vectors import cosine_similarity
+from data_profiler_spark.operators import dedup, similarity, textops
+from data_profiler_spark.operators.corpus_relational import T
+from data_profiler_spark.operators.textops import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+)
+
+# DuckDB snippets mirroring functions/text.py exactly.
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
+
+
+def _shingles_sql(k: int) -> str:
+    """Word-k-shingles list, mirroring functions/text.py::word_shingles."""
+    return (
+        f"list_transform(range(1, greatest(len(tk) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(tk, i, i + {k - 1}), ' '))"
+    )
+
+
+# --- exact dedup (hash-groupBy) ---------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = f"""
+WITH fp AS (SELECT doc_id AS id, md5({_NORM}) AS fingerprint FROM documents)
+SELECT id, fingerprint,
+       MIN(id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       CAST(id != MIN(id) OVER (PARTITION BY fingerprint) AS INT) AS is_dup
+FROM fp
+"""
+
+
+# --- MinHash + LSH banding ---------------------------------------------------
+
+MINHASH_K = 2  # word-shingle width
+MINHASH_HASHES = 8
+MINHASH_BAND_ROWS = 2
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_BAND_ROWS,
+        shingle_k=MINHASH_K,
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(MINHASH_HASHES)
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    bands = " UNION ALL ".join(
+        "SELECT id, {b} AS band_id, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || ".join(
+                f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tk_t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
+sh AS (SELECT id, unnest(list_distinct({_shingles_sql(MINHASH_K)})) AS shingle FROM tk_t),
+sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+bands AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+WHERE a.id < b.id
+"""
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+_SIMHASH_CORE = f"""
+tok_t AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+h_t AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok_t),
+votes AS (
+  SELECT id, bit, SUM(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h_t CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS bit) bits
+  GROUP BY id, bit
+),
+sim AS (
+  SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(T(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS)
+
+
+DEDUP_SIMHASH_SQL = f"WITH {_SIMHASH_CORE} SELECT id, simhash FROM sim"
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.simhash(T(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS)
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=3, bits=SIMHASH_BITS)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_HALF_MASK = (1 << (SIMHASH_BITS // 2)) - 1
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CORE},
+lo AS (SELECT id, simhash, simhash & {_HALF_MASK} AS band FROM sim),
+hi AS (SELECT id, simhash, simhash >> {SIMHASH_BITS // 2} AS band FROM sim),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM lo a JOIN lo b ON a.band = b.band AND a.id < b.id
+  UNION
+  SELECT a.id, b.id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+  FROM hi a JOIN hi b ON a.band = b.band AND a.id < b.id
+)
+SELECT DISTINCT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+# --- n-gram Jaccard -----------------------------------------------------------
+
+JACCARD_K = 2
+JACCARD_THRESHOLD = 0.08
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH tk_t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
+sh AS (SELECT id, unnest(list_distinct({_shingles_sql(JACCARD_K)})) AS shingle FROM tk_t),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = shared.id_a
+JOIN sizes sb ON sb.id = shared.id_b
+WHERE ROUND(shared / (sa.n + sb.n - shared), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- text quality -------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SW_LIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, {_NORM} AS norm, {_TOKS} AS tk FROM documents
+), feat AS (
+  SELECT id,
+    len(tk) AS n_tok,
+    length(norm) AS n_chars,
+    len(list_filter(tk, t -> list_contains({_SW_LIST}, t))) AS n_stop,
+    length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')) AS n_punct,
+    length(norm) - length(regexp_replace(norm, '[a-z]', '', 'g')) AS n_alpha
+  FROM base
+), ratio AS (
+  SELECT id, n_tok, n_chars,
+    (n_chars - (n_tok - 1)) / NULLIF(CAST(n_tok AS DOUBLE), 0.0) AS mean_token_len,
+    n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0) AS stop_ratio,
+    n_punct / NULLIF(CAST(n_chars AS DOUBLE), 0.0) AS punct_ratio,
+    n_alpha / NULLIF(CAST(n_chars AS DOUBLE), 0.0) AS alpha_ratio
+  FROM feat
+)
+SELECT id,
+  CAST(n_tok AS INT) AS n_tokens,
+  CAST(n_chars AS INT) AS n_chars_norm,
+  ROUND(mean_token_len, 6) AS mean_token_len,
+  ROUND(stop_ratio, 6) AS stopword_ratio,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(alpha_ratio, 6) AS alpha_ratio,
+  ROUND(
+    least(n_tok / 20.0, 1.0) * 0.25
+    + COALESCE(alpha_ratio, 0.0) * 0.35
+    + least(COALESCE(stop_ratio, 0.0) * 4.0, 1.0) * 0.25
+    + (1.0 - least(COALESCE(punct_ratio, 0.0) * 5.0, 1.0)) * 0.15, 6) AS quality_score
+FROM ratio
+"""
+
+
+# --- language ID ---------------------------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_id_sql() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(tk, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS s_{lang}"
+        for lang in langs
+    )
+    # First language in declaration order reaching the (positive) max wins —
+    # identical to the strict-> fold in textops.language_id.
+    pred_branches, score_branches = [], []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{other}" for other in langs[i + 1 :]]
+        cond = f"s_{lang} > 0"
+        if rest:
+            cond += f" AND s_{lang} >= greatest({', '.join(rest)})" if len(rest) > 1 else f" AND s_{lang} >= {rest[0]}"
+        pred_branches.append(f"WHEN {cond} THEN '{lang}'")
+        score_branches.append(f"WHEN {cond} THEN s_{lang}")
+    return f"""
+WITH tk_t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
+sc AS (SELECT id, {score_cols} FROM tk_t)
+SELECT id,
+  CASE {' '.join(pred_branches)} ELSE 'und' END AS lang_pred,
+  CAST(CASE {' '.join(score_branches)} ELSE 0 END AS INT) AS score
+FROM sc
+"""
+
+
+# --- token counting -------------------------------------------------------------
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id AS id,
+  CAST(len({_TOKS}) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all({_NORM}, '{TOKEN_PATTERN}')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+# --- winnowing fingerprint -------------------------------------------------------
+
+FP_WINDOW, FP_STRIDE = 16, 8
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(
+        T(spark, sf_dir, "documents"), "doc_id", "text", window=FP_WINDOW, stride=FP_STRIDE
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH n_t AS (SELECT doc_id AS id, {_NORM} AS norm FROM documents)
+SELECT id,
+  list_min(list_transform(
+    range(1, greatest(length(norm) - {FP_WINDOW - 1}, 1) + 1, {FP_STRIDE}),
+    i -> md5(substr(norm, CAST(i AS INT), {FP_WINDOW})))) AS fingerprint
+FROM n_t
+"""
+
+
+# --- similarity search ------------------------------------------------------------
+
+# DuckDB fold mirroring functions/vectors.py (list_reduce folds left like
+# F.aggregate; 0.0 + x1 == x1 exactly in IEEE so the missing init is safe).
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / NULLIF({_norm_sql(a)} * {_norm_sql(b)}, 0.0))"
+
+
+ANN_K = 10
+N_QUERIES = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=ANN_K)
+
+
+ANN_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id, ROUND({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# deterministic integer hyperplanes (seedless, reproducible in SQL literals)
+N_PLANES = 4
+PLANES = [
+    [float(((7 * p + 13 * j) % 11) - 5) for j in range(64)] for p in range(N_PLANES)
+]
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.lsh_topk(emb, queries, PLANES, "vec_id", "embedding", k=ANN_K)
+
+
+def _lsh_topk_sql() -> str:
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for i, plane in enumerate(PLANES):
+            lit = "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN {_dot_sql(vec, lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "CAST(" + " + ".join(terms) + " AS INT)"
+
+    return f"""
+WITH cb AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM cb WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qb.query_id, cb.vec_id, ROUND({_cos_sql('qb.qv', 'cb.embedding')}, 6) AS cosine
+  FROM cb JOIN qb ON cb.bucket = qb.bucket WHERE cb.vec_id != qb.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroids(T(spark, sf_dir, "embeddings"), "label", "embedding")
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, CAST(pos - 1 AS INT) AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS value
+FROM (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+NEARDUP_THRESHOLD = 0.35  # synthetic embeddings: max pairwise cosine ≈ 0.51
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    c = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+TEXT_QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id": (lang_id, _lang_id_sql()),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _lsh_topk_sql()),
+    "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
+    "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+}

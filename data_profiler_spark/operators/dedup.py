@@ -1,0 +1,220 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+The reference has only the *seed* of dedup — group-by-first header
+extraction (/root/reference/data_profiler/helpers/data_directory.py:419-440)
+and `.unique()` universes (data_directory.py:220-290). At training-data
+scale dedup is a first-class operator family, so each variant here is a pure
+DataFrame pipeline designed around its shuffle:
+
+- exact: one groupBy on a 128-bit fingerprint — map-side combinable,
+  AQE-coalesced; the canonical-id window never materializes full text.
+- MinHash LSH: shingle explode → per-(doc, band) signature agg →
+  self-equi-join on (band_id, band_key). The join key includes the band id,
+  so all B bands ride ONE shuffle instead of B.
+- SimHash: explode tokens × bit positions, two chained aggs; pairs via
+  self-join banded on the high byte to avoid a full cross join.
+- n-gram Jaccard: distinct-shingle explode, self-join on shingle, one
+  groupBy per pair — exact Jaccard for verification / small-candidate sets;
+  LSH is the scale path and Jaccard the refinement on its candidates.
+
+All fingerprints use engine-portable md5 hashing (functions/hashing.py) so
+every variant is oracle-verifiable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions.hashing import portable_hash64, portable_min_shingle_hash
+from data_profiler_spark.functions.text import normalize_text, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint, canonical_id, is_dup): md5-of-normalized-text
+    grouping; canonical = min id per fingerprint.
+
+    Scale: the window shuffles only (id, fingerprint) — text is pruned
+    before the exchange. Equivalent SQL: min(id) OVER (PARTITION BY fp).
+    """
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(text_col)).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("is_dup", (F.col("id") != F.col("canonical_id")).cast("int"))
+        .select("id", "fingerprint", "canonical_id", "is_dup")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: one row per doc, columns h0..h{n-1}.
+
+    One explode + one groupBy: all hash functions are independent ``min``
+    aggregates over the same exploded shingle set (map-side combinable), so
+    signature width never adds shuffles.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    aggs = [
+        F.min(portable_min_shingle_hash(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    bands = num_hashes / rows_per_band; band_key = md5 of the band's
+    concatenated min-hashes. The self-join is an equi-join on
+    (band_id, band_key) — co-partitioned by construction, skew-safe under
+    AQE because genuinely hot band keys are exactly the near-dup clusters
+    we want.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    n_bands = num_hashes // rows_per_band
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("", *cols)).alias("band_key"))
+        )
+    banded = sig.select("id", F.explode(F.array(*band_rows)).alias("band")).select(
+        "id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash): per-token portable hash, ±1 vote per bit position,
+    sign of the vote sum becomes the bit.
+
+    Two chained aggregations: (doc, bit) votes → doc fingerprint. The first
+    groupBy is map-side combinable over the token explode; bit fan-out rides
+    the same explode (array of bit structs), not a second shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = portable_hash64(F.col("tok"))
+    # Literal per-bit structs: shift amounts must be literals for
+    # whole-stage-codegen shiftright, and bits<=64 keeps this tiny.
+    entries = [
+        F.struct(
+            F.lit(b).alias("bit"),
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("vote"),
+        )
+        for b in range(bits)
+    ]
+    bit_votes = toks.select("id", F.explode(F.array(*entries)).alias("bv")).select(
+        "id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote")
+    )
+    votes = bit_votes.groupBy("id", "bit").agg(F.sum("vote").alias("s"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
+    """Pairs (id_a, id_b, hamming) with hamming(simhash) <= max_hamming.
+
+    Join is banded on the top half of the fingerprint: near pairs that
+    differ only in low bits collide in the band; a second pass banded on the
+    low half catches the rest (classic SimHash table split) — union of the
+    two equi-joins, never a cross join.
+    """
+    half = bits // 2
+    lo = sim.withColumn("band", F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)))
+    hi = sim.withColumn("band", F.shiftright(F.col("simhash"), half))
+    out = None
+    for banded in (lo, hi):
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(b, "band")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-k-shingles for all pairs sharing at
+    least one shingle. (id_a, id_b, jaccard rounded to 6dp.)
+
+    At scale this runs on LSH candidates, not the full corpus: the
+    shingle-join fan-out is quadratic in per-shingle document frequency, so
+    `minhash_lsh_candidates` prunes first and this verifies.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

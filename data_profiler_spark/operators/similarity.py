@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+No analog exists in the reference (its only "similarity" is exact key
+membership, data_directory.py:311-356); this is new surface for the
+training-data pipeline.
+
+Two tiers:
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  set against the full corpus; one shuffle for the per-query top-k window.
+  This is the correctness baseline and the refinement step.
+- ``lsh_topk``: random-hyperplane LSH — corpus and queries are bucketed by
+  sign-pattern; candidate generation is an equi-join on the bucket key, so
+  the corpus is scanned once and never cross-joined. At 100 TB the bucket
+  join co-partitions by key; multi-probe (flipping one plane at a time)
+  trades recall for fan-out without rebuilding the index.
+
+Both paths are pure Catalyst expressions (functions/vectors.py) — the dot
+product folds JVM-side; no Python touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions.vectors import cosine_similarity, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    (query_id, vec_id, cosine, rank). The query side is broadcast — at any
+    scale the query batch is the small side; the corpus is scanned once with
+    no shuffle until the per-query top-k aggregation.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern LSH bucket id: bit i = 1 iff dot(vec, planes[i]) >= 0.
+
+    Planes are literal arrays (driver-chosen, deterministic) so the bucket
+    expression is pure codegen — the same planes must be used for corpus
+    and queries.
+    """
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    refined by exact cosine. Recall is tuned by plane count (fewer planes →
+    bigger buckets → higher recall, more compute)."""
+    cb = hyperplane_bucket(corpus, planes, id_col, vec_col).withColumnsRenamed(
+        {id_col: "vec_id", vec_col: "__cvec"}
+    )
+    qb = hyperplane_bucket(queries, planes, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", vec_col: "__qvec"}
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    With ``planes`` the pair join is bucketed (near-identical vectors agree
+    on every hyperplane sign with overwhelming probability); without, it is
+    a full self-join — only for small/verification inputs.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if planes is not None:
+        cb = hyperplane_bucket(c, planes, "id", "vec")
+        a = cb.alias("a")
+        b = cb.alias("b")
+        joined = a.join(b, "bucket").filter(F.col("a.id") < F.col("b.id"))
+    else:
+        a = c.alias("a")
+        b = c.alias("b")
+        joined = a.join(b, F.col("a.id") < F.col("b.id"))
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long format (label, pos, value).
+
+    posexplode + two-key groupBy: one shuffle keyed (label, pos), map-side
+    combinable — the IVF coarse-quantizer training step.
+    """
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("value"))
+        .select("label", F.col("pos").cast("int"), "value")
+    )
