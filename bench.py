@@ -1,0 +1,96 @@
+"""Headline benchmark (driver contract): runs the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1, "clips_per_sec": R, ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+collect bottleneck). The clips_validate entry is the BASELINE.json domain
+metric: end-to-end validation throughput (profile + constraints + drift +
+verdicts + manifest) over a generated clips table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_profiler_spark import fixtures
+from data_profiler_spark.operators.corpus import CORPUS
+from data_profiler_spark.plans.runner import ValidationRun
+from data_profiler_spark.session import get_spark
+from data_profiler_spark.sources.tableio import ParquetTableIO
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "pareto_abc_parts",
+    "user_running_value",
+    "profile_column_stats",
+    "verdict_grid",
+    "psi_drift",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_cosine_topk",
+    "hll_distinct",
+    "quantile_sketch",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    clips_n = int(os.environ.get("SPARK_GRAFT_CLIPS_N", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark(
+        "bench", cores=cores, extra_confs={"spark.ui.showConsoleProgress": "false"}
+    )
+    # warm the JVM/codegen once so per-query times are steady-state
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = CORPUS[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # domain metric: clips profiled/sec end-to-end
+    out_dir = f"/tmp/bench_clips_{os.getpid()}"
+    clips = fixtures.generate_clips(spark, clips_n, seed=42).persist()
+    clips.count()  # materialize so generation cost is excluded from the metric
+    transcripts = fixtures.generate_transcripts(spark, clips_n, seed=42)
+    run = ValidationRun(spark, ParquetTableIO(out_dir), n_partitions=max(32, cores * 2))
+    t0 = time.time()
+    res = run.run(clips, transcripts=transcripts)
+    clips_wall = time.time() - t0
+    timings["clips_validate"] = round(clips_wall, 3)
+    clips_per_sec = res.rows / clips_wall if clips_wall > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "clips_n": clips_n,
+                "clips_per_sec": round(clips_per_sec, 1),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

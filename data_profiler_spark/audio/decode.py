@@ -65,6 +65,11 @@ def wav_sample_rate(payload: bytes) -> int:
     return struct.unpack("<I", payload[24:28])[0]
 
 
+# Spectral stats window: 16384 samples ≈ 1s @16kHz. Bounded per-clip cost;
+# the dominant-bin estimate is unchanged for stationary tones.
+_SPEC_WINDOW = 16384
+
+
 def _stats_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out: dict[str, list] = {f.name: [] for f in CLIP_STATS_SCHEMA.fields}
     for payload, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
@@ -86,13 +91,19 @@ def _stats_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             row["decode_ok"] = True
             row["n_samples"] = n
             row["decoded_ms"] = 1000.0 * n / sr_eff
-            row["rms"] = float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
-            row["peak"] = float(np.max(np.abs(x)))
-            row["clip_ratio"] = float(np.mean(np.abs(x) > 0.999))
+            # BLAS dot instead of an n-sized float64 square allocation.
+            row["rms"] = float(np.sqrt(np.dot(x, x) / n))
+            ax = np.abs(x)
+            row["peak"] = float(ax.max())
+            row["clip_ratio"] = float(np.count_nonzero(ax > 0.999) / n)
             row["zero_cross_rate"] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
-            # Tonal SNR proxy: energy of the dominant rFFT bin family vs rest.
+            # Tonal SNR proxy: energy of the dominant rFFT bin family vs the
+            # rest, over a FIXED-length window (O(1) per clip regardless of
+            # dur_ms — otherwise a 15s/44.1kHz clip costs ~50× a median clip
+            # and re-creates exactly the duration skew the salting fights).
             if n >= 16:
-                spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+                seg = x[:_SPEC_WINDOW]
+                spec = np.abs(np.fft.rfft(seg.astype(np.float64)))
                 k = int(np.argmax(spec[1:]) + 1)
                 sig = float(np.sum(spec[max(1, k - 2) : k + 3] ** 2))
                 rest = float(np.sum(spec[1:] ** 2) - sig)
@@ -114,7 +125,11 @@ def decode_stats(clips: DataFrame, passthrough: list[str] | None = None) -> Data
     ``bytes`` column is dropped here and never crosses a shuffle. Output is
     CLIP_STATS_SCHEMA + passthrough fields.
     """
-    passthrough = [c for c in (passthrough or []) if c not in {f.name for f in CLIP_STATS_SCHEMA.fields}]
+    passthrough = [
+        c
+        for c in (passthrough or [])
+        if c not in {f.name for f in CLIP_STATS_SCHEMA.fields} and c != "bytes"
+    ]
     in_fields = {f.name: f for f in clips.schema.fields}
     out_schema = T.StructType(list(CLIP_STATS_SCHEMA.fields) + [in_fields[c] for c in passthrough])
 
@@ -126,7 +141,7 @@ def decode_stats(clips: DataFrame, passthrough: list[str] | None = None) -> Data
                     stats[c] = pdf[c].to_numpy()
                 yield stats
 
-    cols = ["clip_id", "bytes", "sr_hz", "codec"] + passthrough
+    cols = list(dict.fromkeys(["clip_id", "bytes", "sr_hz", "codec"] + passthrough))
     return clips.select(*cols).mapInPandas(op, schema=out_schema)
 
 

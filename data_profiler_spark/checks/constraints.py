@@ -48,6 +48,45 @@ def _violations(df: DataFrame, check_name: str, key: str, detail) -> DataFrame:
     )
 
 
+def row_level_violations(
+    df: DataFrame,
+    specs: list[tuple],
+    key: str = "clip_id",
+) -> DataFrame:
+    """Fuse N row-level checks into ONE scan (no joins, no shuffle).
+
+    ``specs``: (check_name, condition Column, detail Column). Each row emits
+    an array of matched-check structs, compacted and exploded — so adding a
+    check costs zero extra passes over the table. This is how pk_not_null /
+    not_null / decodable / dur-consistency run inside ValidationRun: at
+    10^12 rows the dominant cost is the scan, and this keeps it at exactly
+    one (fixed per-job overhead matters even locally).
+    """
+    entries = [
+        F.when(
+            cond,
+            F.struct(
+                F.lit(name).alias("check_name"), detail.cast("string").alias("detail")
+            ),
+        )
+        for name, cond, detail in specs
+    ]
+    pid = F.col("partition_id") if "partition_id" in df.columns else F.lit(None)
+    return (
+        df.select(
+            F.col(key).cast("string").alias("clip_id"),
+            pid.cast("int").alias("partition_id"),
+            F.explode(F.array_compact(F.array(*entries))).alias("__v"),
+        )
+        .select(
+            F.col("__v.check_name").alias("check_name"),
+            "clip_id",
+            "partition_id",
+            F.col("__v.detail").alias("detail"),
+        )
+    )
+
+
 def check_pk_not_null(df: DataFrame, key: str = "clip_id", name: str = "pk_not_null") -> DataFrame:
     """Null or empty primary key (functions.py:57-64 semantics)."""
     bad = df.filter(F.col(key).isNull() | (F.trim(F.col(key)) == ""))

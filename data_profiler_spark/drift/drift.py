@@ -79,6 +79,46 @@ def ks_binned(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     )
 
 
+def drift_from_hist_rows(cur_rows: list, base_rows: list) -> list[dict]:
+    """PSI + binned-KS per column from two collected histogram row sets.
+
+    Same math as :func:`psi` / :func:`ks_binned`, but in plain Python: a
+    histogram is ≤ nbins+2 rows per column *by construction at any data
+    scale*, so once the (distributed) histogram aggregation has run, the
+    drift comparison is metadata — doing it driver-side removes two join
+    DAGs per run. The Spark versions remain for composing drift into larger
+    lazy pipelines (and for the oracle-checked corpus entry).
+    """
+    def acc(rows):
+        d: dict[str, dict[int, int]] = {}
+        for r in rows:
+            col = r["column"]
+            d.setdefault(col, {})
+            d[col][r["bucket"]] = d[col].get(r["bucket"], 0) + r["count"]
+        return d
+
+    cur, base = acc(cur_rows), acc(base_rows)
+    out = []
+    for col in sorted(set(cur) | set(base)):
+        c = cur.get(col, {})
+        b = base.get(col, {})
+        buckets = sorted(set(c) | set(b))
+        c_tot = sum(c.values()) or 1
+        b_tot = sum(b.values()) or 1
+        psi_v = 0.0
+        cdf_c = cdf_b = 0.0
+        ks = 0.0
+        for k in buckets:
+            p = c.get(k, 0) / c_tot + EPS
+            q = b.get(k, 0) / b_tot + EPS
+            psi_v += (p - q) * float(np.log(p / q))
+            cdf_c += c.get(k, 0) / c_tot
+            cdf_b += b.get(k, 0) / b_tot
+            ks = max(ks, abs(cdf_c - cdf_b))
+        out.append({"column": col, "psi": psi_v, "ks_d": ks})
+    return out
+
+
 def ks_exact_by_group(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,236 @@
+"""Multimodal (image/video/generic-binary) column operators.
+
+Pattern (same as the audio path, audio/decode.py): the payload is an opaque
+``binary`` column + typed metadata columns; all processing is Arrow-batched
+``mapInPandas`` with numpy inside, the wide binary column is dropped at the
+first opportunity, and partitioning is salted on a deterministic key hash so
+payload-size skew never concentrates in one task.
+
+The sandbox has no image/audio/video codec libraries, so the actual pixel /
+frame decoders are STUBS behind ``register_decoder`` — a deterministic fake
+(``fake_rgb_decoder``) keeps the Spark-side plumbing (schema, batch shape,
+salting, metadata checks) fully testable; a production deployment registers
+real decoders (PIL/ffmpeg) with the same signature and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# decoder: payload bytes, fmt string -> (height, width, channels) uint8 array
+Decoder = Callable[[bytes, str], np.ndarray]
+
+_DECODERS: dict[str, Decoder] = {}
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_err", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("dec_height", T.IntegerType(), True),
+        T.StructField("dec_width", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("std_intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def register_decoder(fmt: str, decoder: Decoder) -> None:
+    _DECODERS[fmt] = decoder
+
+
+def unregistered_decoder(payload: bytes, fmt: str) -> np.ndarray:
+    raise NotImplementedError(
+        f"no decoder registered for format {fmt!r}: image/video codec "
+        "libraries are not available in this environment; register a real "
+        "decoder via multimodal.register_decoder(fmt, fn)"
+    )
+
+
+def fake_rgb_decoder(payload: bytes, fmt: str) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes → pseudo-RGB pixels.
+
+    Header: 4 bytes height, 4 bytes width (big-endian); body: repeated to
+    h×w×3 uint8. Purely so tests can assert exact pixel stats end-to-end
+    through the Arrow batch path without a codec library.
+    """
+    if payload is None or len(payload) < 8:
+        raise ValueError("payload too short")
+    h = int.from_bytes(payload[0:4], "big")
+    w = int.from_bytes(payload[4:8], "big")
+    if not (0 < h <= 4096 and 0 < w <= 4096):
+        raise ValueError(f"implausible dimensions {h}x{w}")
+    body = np.frombuffer(payload[8:], dtype=np.uint8)
+    if body.size == 0:
+        raise ValueError("empty body")
+    need = h * w * 3
+    reps = int(np.ceil(need / body.size))
+    return np.tile(body, reps)[:need].reshape(h, w, 3)
+
+
+register_decoder("fake_rgb", fake_rgb_decoder)
+
+
+def encode_fake_rgb(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[0], pixels.shape[1]
+    return h.to_bytes(4, "big") + w.to_bytes(4, "big") + pixels.tobytes()
+
+
+def media_decode_stats(media: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """Per-item decode + pixel stats via mapInPandas (audio decode_stats
+    pattern): one Arrow batch in, fixed-width stats out, payload dropped."""
+    passthrough = [
+        c
+        for c in (passthrough or [])
+        if c not in {f.name for f in MEDIA_STATS_SCHEMA.fields} and c != "payload"
+    ]
+    in_fields = {f.name: f for f in media.schema.fields}
+    out_schema = T.StructType(
+        list(MEDIA_STATS_SCHEMA.fields) + [in_fields[c] for c in passthrough]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {f.name: [] for f in MEDIA_STATS_SCHEMA.fields}
+            for payload, fmt, mid in zip(pdf["payload"], pdf["fmt"], pdf["media_id"]):
+                row: dict = {
+                    "media_id": mid,
+                    "decode_ok": False,
+                    "decode_err": None,
+                    "n_bytes": len(payload) if payload is not None else None,
+                    "dec_height": None,
+                    "dec_width": None,
+                    "channels": None,
+                    "mean_intensity": None,
+                    "std_intensity": None,
+                }
+                try:
+                    dec = _DECODERS.get(fmt, unregistered_decoder)
+                    px = dec(payload, fmt)
+                    row["decode_ok"] = True
+                    row["dec_height"] = int(px.shape[0])
+                    row["dec_width"] = int(px.shape[1])
+                    row["channels"] = int(px.shape[2]) if px.ndim == 3 else 1
+                    row["mean_intensity"] = float(px.mean(dtype=np.float64))
+                    row["std_intensity"] = float(px.std(dtype=np.float64))
+                except (ValueError, NotImplementedError) as e:
+                    row["decode_err"] = str(e)
+                for k, v in row.items():
+                    out[k].append(v)
+            res = pd.DataFrame(out, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields])
+            for c in passthrough:
+                res[c] = pdf[c].to_numpy()
+            yield res
+
+    cols = list(dict.fromkeys(["media_id", "payload", "fmt"] + passthrough))
+    return media.select(*cols).mapInPandas(op, schema=out_schema)
+
+
+def resize_stub(
+    media: DataFrame, target_h: int, target_w: int
+) -> DataFrame:
+    """Resize operator plumbing: output schema + batch shape are real; the
+    pixel resample itself needs a codec/imaging library → per-row
+    NotImplementedError is captured as resize_err (the engine's standard
+    violation-row contract) rather than failing the job."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), True),
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("resize_err", T.StringType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            err = (
+                f"resize to {target_h}x{target_w} requires an imaging library "
+                "(not available in this environment)"
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": [None] * len(pdf),
+                    "resize_err": [err] * len(pdf),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(op, schema=out_schema)
+
+
+def payload_fingerprint(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact binary dedup key: sha256 of the payload, computed batch-wise in
+    Python (Spark's sha2 works on binary too, but hashing beside the decode
+    avoids a second pass over the payload at scale)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select(F.col(id_col).alias(id_col), "payload").mapInPandas(
+        op, schema="media_id string, sha256 string"
+    )
+
+
+def check_dims_consistency(stats: DataFrame, tol: int = 0) -> DataFrame:
+    """Declared width/height vs decoded dims (requires passthrough of the
+    metadata columns through media_decode_stats) → violation rows in the
+    engine's VIOLATION_SCHEMA shape."""
+    bad = stats.filter(
+        F.col("decode_ok")
+        & (
+            (F.abs(F.col("width") - F.col("dec_width")) > tol)
+            | (F.abs(F.col("height") - F.col("dec_height")) > tol)
+        )
+    )
+    detail = F.concat(
+        F.lit("declared "),
+        F.col("width").cast("string"),
+        F.lit("x"),
+        F.col("height").cast("string"),
+        F.lit(" decoded "),
+        F.col("dec_width").cast("string"),
+        F.lit("x"),
+        F.col("dec_height").cast("string"),
+    )
+    pid = F.col("partition_id") if "partition_id" in stats.columns else F.lit(None)
+    return bad.select(
+        F.lit("media_dims_consistent").alias("check_name"),
+        F.col("media_id").cast("string").alias("clip_id"),
+        pid.cast("int").alias("partition_id"),
+        detail.cast("string").alias("detail"),
+    )

@@ -27,9 +27,11 @@ partition completed.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,18 +39,14 @@ from pyspark.storagelevel import StorageLevel
 
 from data_profiler_spark.audio import decode_stats, salt_repartition
 from data_profiler_spark.checks import (
-    check_decodable,
-    check_dur_consistency,
-    check_pk_not_null,
     check_referential,
     check_unique,
-    verdicts,
     with_partition_id,
 )
-from data_profiler_spark.checks.constraints import check_not_null
-from data_profiler_spark.drift import ks_binned, psi
+from data_profiler_spark.checks.constraints import row_level_violations
+from data_profiler_spark.drift import drift_from_hist_rows
 from data_profiler_spark.plans.manifest import Manifest
-from data_profiler_spark.profiling import column_profile, histogram
+from data_profiler_spark.profiling import column_profile_collected, histogram
 from data_profiler_spark.schemas import VERDICT_SCHEMA, VIOLATION_SCHEMA
 from data_profiler_spark.sources.tableio import TableIO
 
@@ -68,10 +66,7 @@ class RunResult:
     drift: DataFrame | None
     clips_per_sec: float
     wall_sec: float
-    all_passed: bool = field(init=False)
-
-    def __post_init__(self) -> None:
-        self.all_passed = self.verdicts.filter(~F.col("passed")).isEmpty()
+    all_passed: bool = True
 
 
 class ValidationRun:
@@ -111,12 +106,22 @@ class ValidationRun:
         processes — used by the resume test to simulate a killed job.
         """
         t0 = time.monotonic()
+        verbose = os.environ.get("DPS_VERBOSE_TIMING") == "1"
+        last = [t0]
+
+        def mark(label: str) -> None:
+            if verbose:
+                now = time.monotonic()
+                print(f"  [timing] {label}: {now - last[0]:.1f}s", file=sys.stderr)
+                last[0] = now
+
         clips = with_partition_id(clips, self.n_partitions)
 
         done = self.manifest.completed_partitions()
         pending = sorted(set(range(self.n_partitions)) - done)
         if limit_partitions is not None:
             pending = pending[:limit_partitions]
+        mark("manifest read")
         if not pending:
             empty_v = self.spark.createDataFrame([], VIOLATION_SCHEMA)
             empty_verd = self.spark.createDataFrame([], VERDICT_SCHEMA)
@@ -128,66 +133,85 @@ class ValidationRun:
         if done or limit_partitions is not None:
             clips = clips.filter(F.col("partition_id").isin(pending))
 
-        # One decode pass, salted against dur/codec skew, bytes dropped after.
+        # One decode pass, salted against dur/codec skew; every scalar column
+        # rides through the UDF so NOTHING downstream ever rescans clips —
+        # after this point the wide `bytes` column is gone and the whole
+        # suite (checks, profile, drift) runs off one persisted stats frame.
         salted = salt_repartition(
-            clips.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms", "partition_id"),
+            clips.select(
+                "clip_id", "bytes", "sr_hz", "codec", "dur_ms", "transcript", "partition_id"
+            ),
             self.spark.sparkContext.defaultParallelism * 2,
         )
-        stats = decode_stats(salted, passthrough=["dur_ms", "partition_id"])
-        stats.persist(StorageLevel.MEMORY_AND_DISK)
+        stats = decode_stats(
+            salted, passthrough=["sr_hz", "dur_ms", "codec", "transcript", "partition_id"]
+        )
+        # Materialize the cache BEFORE fanning out: the violation union scans
+        # stats from several branches of ONE job, and branches racing an
+        # unpopulated cache each re-run the decode (4× the dominant cost).
+        stats.persist(StorageLevel.MEMORY_AND_DISK).count()
+        if transcripts is not None:
+            transcripts = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
+            transcripts.count()
 
-        narrow = clips.drop("bytes")
-
+        mark("decode+persist")
         # -- constraint checks (names drive the verdict grid) ----------------
+        # Row-level checks fuse into ONE scan of stats (no joins); only
+        # uniqueness (groupBy) and the two referential directions (anti-joins)
+        # add exchanges. Minimizing job/stage count matters at both ends of
+        # the scale: locally each job has fixed overhead, on a cluster each
+        # pass over 10^12 rows is the cost unit.
         n = self.n_partitions
-        checks: list[tuple[str, DataFrame]] = [
-            ("pk_not_null", check_pk_not_null(narrow)),
-            ("pk_unique", check_unique(narrow, n_partitions=n)),
-            ("audio_decodable", check_decodable(stats)),
-            ("dur_ms_consistent", check_dur_consistency(stats, tol_ms=self.dur_tol_ms)),
-            ("transcript_not_null", check_not_null(narrow, "transcript")),
+        key = F.col("clip_id")
+        row_specs = [
+            (
+                "pk_not_null",
+                key.isNull() | (F.trim(key) == ""),
+                F.lit("null or empty primary key"),
+            ),
+            (
+                "audio_decodable",
+                ~F.col("decode_ok"),
+                F.coalesce(F.col("decode_err"), F.lit("decode failed")),
+            ),
+            (
+                "dur_ms_consistent",
+                F.col("decode_ok")
+                & (F.abs(F.col("dur_ms") - F.col("decoded_ms")) > self.dur_tol_ms),
+                F.concat(
+                    F.lit("declared dur_ms="),
+                    F.col("dur_ms").cast("string"),
+                    F.lit(" decoded_ms="),
+                    F.round("decoded_ms", 1).cast("string"),
+                ),
+            ),
+            (
+                "transcript_not_null",
+                F.col("transcript").isNull() | (F.trim(F.col("transcript")) == ""),
+                F.lit("null or empty transcript"),
+            ),
+        ]
+        check_names = [s[0] for s in row_specs] + ["pk_unique"]
+        branches = [
+            row_level_violations(stats, row_specs),
+            check_unique(stats, n_partitions=n),
         ]
         if transcripts is not None:
-            checks.append(
-                ("clip_has_transcript",
-                 check_referential(narrow, transcripts, key="clip_id",
-                                   name="clip_has_transcript",
-                                   detail="clip has no transcript row",
-                                   n_partitions=n)))
-            checks.append(
-                ("transcript_has_clip",
-                 check_referential(transcripts, narrow, key="clip_id",
-                                   name="transcript_has_clip",
-                                   detail="transcript row has no clip",
-                                   n_partitions=n)))
-
-        check_names = [n for n, _ in checks]
-        all_violations = checks[0][1]
-        for _, v in checks[1:]:
+            check_names += ["clip_has_transcript", "transcript_has_clip"]
+            branches.append(
+                check_referential(stats, transcripts, key="clip_id",
+                                  name="clip_has_transcript",
+                                  detail="clip has no transcript row",
+                                  n_partitions=n))
+            branches.append(
+                check_referential(transcripts, stats, key="clip_id",
+                                  name="transcript_has_clip",
+                                  detail="transcript row has no clip",
+                                  n_partitions=n))
+        all_violations = branches[0]
+        for v in branches[1:]:
             all_violations = all_violations.unionByName(v)
         all_violations = all_violations.persist(StorageLevel.MEMORY_AND_DISK)
-
-        totals = self._totals(narrow)
-        verdict_df = verdicts(all_violations, totals, check_names)
-
-        # -- per-partition profile (one fused agg over narrow columns) -------
-        prof_clips = column_profile(narrow, PROFILE_COLUMNS, group_cols=["partition_id"])
-        prof_stats = column_profile(
-            stats.filter(F.col("decode_ok")), STATS_PROFILE_COLUMNS, group_cols=["partition_id"]
-        )
-        profile = prof_clips.unionByName(prof_stats)
-
-        # -- drift vs persisted baseline -------------------------------------
-        drift = None
-        if self.io.exists(self.spark, "baseline_hist"):
-            base = self.io.read(self.spark, "baseline_hist")
-            cur = histogram(narrow, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS)
-            drift = (
-                psi(cur, base)
-                .join(ks_binned(cur, base), "column", "full_outer")
-                .withColumn("psi_passed", F.col("psi") <= self.psi_threshold)
-                .withColumn("ks_passed", F.col("ks_d") <= self.ks_threshold)
-            )
 
         # -- commit outputs, then the manifest (crash-safe ordering): every
         # output row carries this run's snapshot id; a crash before the
@@ -195,17 +219,93 @@ class ValidationRun:
         # joining on manifest snapshot ids.
         snap = uuid.uuid4().hex[:16]
         tag = F.lit(snap).alias("snapshot_id")
-        self.io.append(profile.select(tag, "*"), "profile")
+
+        # job 1: decode + all check branches → violations table (+cache).
         self.io.append(all_violations.select(tag, "*"), "violations")
+
+        mark("violations write")
+        # jobs 2+3: two tiny collects off the caches — per-(check,partition)
+        # violation counts and per-partition row totals. The verdict grid
+        # (explicit PASS rows for clean partitions, DataFiles.py:52-77
+        # semantics) is assembled driver-side: it is |checks|×|partitions|
+        # rows of metadata, and building it as a crossJoin+left-join DAG costs
+        # more in planning than the data is worth at any scale.
+        counts = {
+            (r["check_name"], r["partition_id"]): r["n"]
+            for r in all_violations.groupBy("check_name", "partition_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        totals_rows = (
+            stats.groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("rows_checked"))
+            .collect()
+        )
+        mark("verdict collects")
+        verdict_rows = [
+            {
+                "check_name": c,
+                "partition_id": t["partition_id"],
+                "passed": counts.get((c, t["partition_id"]), 0) == 0,
+                "violation_count": int(counts.get((c, t["partition_id"]), 0)),
+                "rows_checked": int(t["rows_checked"]),
+                "detail": None,
+            }
+            for c in check_names
+            for t in totals_rows
+        ]
+        verdict_df = self.spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+        mark("verdict createDF")
         self.io.append(verdict_df.select(tag, "*"), "verdicts")
-        if drift is not None:
+
+        mark("verdict write")
+        # job 4: whole per-partition profile as ONE fused wide agg over stats
+        # (clip scalars + decoded-audio metrics together), melted driver-side.
+        prof_rows = column_profile_collected(
+            stats, PROFILE_COLUMNS + STATS_PROFILE_COLUMNS, group_cols=["partition_id"]
+        )
+        mark("profile collect")
+        profile = self.spark.createDataFrame(
+            prof_rows, "partition_id int, column string, metric string, value double"
+        )
+        mark("profile createDF")
+        self.io.append(profile.select(tag, "*"), "profile")
+
+        mark("profile")
+        # job 5 (if baseline): dur_ms histogram vs baseline → PSI + binned-KS.
+        # The two histogram aggregations run distributed; the comparison is
+        # ≤ nbins+2 rows per column, so it is computed driver-side
+        # (drift_from_hist_rows) instead of as two join DAGs.
+        drift = None
+        if self.io.exists(self.spark, "baseline_hist"):
+            base_rows = self.io.read(self.spark, "baseline_hist").collect()
+            cur_rows = histogram(
+                stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
+            ).collect()
+            drift_rows = [
+                {
+                    **d,
+                    "psi_passed": d["psi"] <= self.psi_threshold,
+                    "ks_passed": d["ks_d"] <= self.ks_threshold,
+                }
+                for d in drift_from_hist_rows(cur_rows, base_rows)
+            ]
+            drift = self.spark.createDataFrame(
+                drift_rows,
+                "column string, psi double, ks_d double, psi_passed boolean, ks_passed boolean",
+            )
             self.io.append(drift.select(tag, "*"), "drift")
 
-        per_part = {r["partition_id"]: r["rows_checked"] for r in totals.collect()}
-        viol_per_part = {
-            r["partition_id"]: r["n"]
-            for r in all_violations.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        mark("drift")
+        per_part: dict[int, int] = {}
+        viol_per_part: dict[int, int] = {}
+        all_passed = True
+        for r in verdict_rows:
+            p = r["partition_id"]
+            per_part[p] = r["rows_checked"]
+            viol_per_part[p] = viol_per_part.get(p, 0) + int(r["violation_count"])
+            if not r["passed"]:
+                all_passed = False
         rows = int(sum(per_part.values()))
         wall_ms = int((time.monotonic() - t0) * 1000)
         part_stats = [
@@ -218,7 +318,10 @@ class ValidationRun:
         ]
         self.manifest.commit(part_stats, snap, wall_ms)
 
+        mark("manifest commit")
         stats.unpersist()
+        if transcripts is not None:
+            transcripts.unpersist()
         wall = time.monotonic() - t0
         return RunResult(
             snapshot_id=snap,
@@ -230,10 +333,8 @@ class ValidationRun:
             drift=drift,
             clips_per_sec=rows / wall if wall > 0 else 0.0,
             wall_sec=wall,
+            all_passed=all_passed,
         )
-
-    def _totals(self, narrow: DataFrame) -> DataFrame:
-        return narrow.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_checked"))
 
 
 def summarize(result: RunResult) -> str:

@@ -102,6 +102,41 @@ def column_profile(
     return wide.select(*keep, F.expr(stack_expr))
 
 
+def column_profile_collected(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_cols: list[str] | None = None,
+) -> list[dict]:
+    """Same metrics as :func:`column_profile`, but the unpivot happens on the
+    driver: one wide aggregation job (rows = |groups|, cols = |metrics|),
+    collected and melted in Python.
+
+    Why: the long format is |groups|·|columns|·|metrics| rows of *metadata* —
+    tiny relative to the data — but expressing the melt as a 100+-branch
+    stack() costs seconds of Catalyst analysis per query, which dominates
+    small/medium runs. The wide agg result is bounded (partitions × metrics),
+    so collecting it is safe by construction; callers that need a DataFrame
+    re-create it from these rows for free.
+    """
+    if columns is None:
+        columns = [f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)]
+    group_cols = group_cols or []
+    exprs, manifest = _profile_exprs(df, columns)
+    wide = df.groupBy(*group_cols).agg(*exprs) if group_cols else df.groupBy().agg(*exprs)
+    out: list[dict] = []
+    for row in wide.collect():
+        d = row.asDict()
+        keys = {g: d[g] for g in group_cols}
+        rows_n = d["__rows"]
+        for c, m, _ in manifest:
+            v = d[f"{c}__{m}"]
+            out.append({**keys, "column": c, "metric": m, "value": v})
+            if m == "null_count":
+                rate = (v / rows_n) if rows_n and v is not None else None
+                out.append({**keys, "column": c, "metric": "null_rate", "value": rate})
+    return out
+
+
 def top_freq(df: DataFrame, column: str, k: int = 1) -> DataFrame:
     """Most frequent value(s) of a column — describe()'s top/freq.
 

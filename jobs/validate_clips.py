@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--write-baseline", action="store_true", help="persist drift baseline and exit")
     ap.add_argument("--limit-partitions", type=int, default=None, help="simulate a killed job")
     ap.add_argument("--clips-path", default=None, help="read clips parquet instead of generating")
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run a small throwaway validation first so the timed run measures "
+        "steady-state throughput (JVM + Python-worker + codegen warmup excluded)",
+    )
     args = ap.parse_args()
 
     from data_profiler_spark import fixtures
@@ -57,6 +63,14 @@ def main() -> int:
             else fixtures.CLEAN
         )
         clips = fixtures.generate_clips(spark, args.n, seed=args.seed, corruptions=corr)
+
+    if args.warmup:
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="dps_warmup_")
+        wrun = ValidationRun(spark, ParquetTableIO(wdir), n_partitions=8)
+        wclips = fixtures.generate_clips(spark, 2000, seed=7)
+        wrun.run(wclips, transcripts=fixtures.generate_transcripts(spark, 2000, seed=7))
 
     if args.write_baseline:
         run.write_baseline(clips)

@@ -1,0 +1,219 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity, text)
+and the fused row-level check path. Ground truths are computed in plain
+Python/numpy on small frames — the reference-style semantics-parity strategy
+(SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark.checks.constraints import row_level_violations
+from data_profiler_spark.drift.drift import drift_from_hist_rows, ks_binned, psi
+from data_profiler_spark.operators import dedup, multimodal, similarity, textops
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "El perro corre por la calle y la casa"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = {r["id"]: r for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()}
+    assert rows[3]["canonical_id"] == 0 and rows[3]["is_dup"] == 1
+    assert rows[0]["is_dup"] == 0
+    assert rows[1]["is_dup"] == 0  # near-dup is NOT an exact dup
+    assert rows[0]["fingerprint"] == rows[3]["fingerprint"]
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text", shingle_k=2).collect()
+    }
+    assert (0, 3) in pairs  # identical docs share every band
+    assert (0, 1) in pairs  # 8/9 shared shingles → some band collides
+    assert (0, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_distance_orders_similarity(docs):
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sig[0] == sig[3]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sig[0], sig[1]) < ham(sig[0], sig[2])
+    assert 0 <= sig[0] < 2**16
+
+
+def test_ngram_jaccard_exact_values(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=2, threshold=0.05
+        ).collect()
+    }
+    assert got[(0, 3)] == 1.0
+    # docs 0/1: 8 shingles each, 7 shared → 7/(8+8-7)
+    assert got[(0, 1)] == round(7 / 9, 6)
+
+
+def test_quality_scores_exact(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog!")], "doc_id long, text string")
+    r = textops.quality_scores(df, "doc_id", "text").collect()[0]
+    # normalized: "the cat and the dog!" → 5 tokens, 20 chars
+    assert r["n_tokens"] == 5
+    assert r["n_chars_norm"] == 20
+    assert r["mean_token_len"] == round((20 - 4) / 5, 6)
+    assert r["stopword_ratio"] == round(3 / 5, 6)  # the, and, the
+    assert r["punct_ratio"] == round(1 / 20, 6)  # '!'
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de la calle"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["lang_pred"], r["score"]) for r in textops.language_id(df, "doc_id", "text").collect()}
+    assert got[1][0] == "en" and got[1][1] > 0
+    assert got[2][0] == "es"
+    assert got[3] == ("und", 0)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello,  world 42!")], "doc_id long, text string")
+    r = textops.token_counts(df, "doc_id", "text").collect()[0]
+    assert r["ws_tokens"] == 3  # hello, | world | 42!
+    assert r["bpe_tokens"] == 5  # hello , world 42 !
+
+
+def test_fingerprint_stable_under_distant_edit(spark):
+    base = "a" * 10 + "m" * 40 + "z" * 200
+    edited = "a" * 10 + "m" * 40 + "z" * 199 + "y"  # tail edit far from min window
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    fp = {r["id"]: r["fingerprint"] for r in textops.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[5] = vecs[0] + rng.normal(scale=1e-3, size=8).astype(np.float32)  # near-dup
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(20)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    df, vecs = embeddings
+    got = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs[0]) / (norms * norms[0])
+    sims[0] = -np.inf
+    expect = np.argsort(-sims)[:3]
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == list(expect)
+    top = sorted(got, key=lambda r: r["rank"])[0]
+    assert top["cosine"] == pytest.approx(sims[expect[0]], abs=2e-6)
+
+
+def test_lsh_topk_finds_near_identical(embeddings):
+    df, _ = embeddings
+    planes = [[float(((7 * p + 13 * j) % 11) - 5) for j in range(8)] for p in range(2)]
+    got = similarity.lsh_topk(df, df.filter(F.col("vec_id") == 0), planes, k=3).collect()
+    assert any(r["vec_id"] == 5 for r in got)  # near-identical shares all sign bits
+
+
+def test_embedding_neardup_pairs(embeddings):
+    df, _ = embeddings
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 5)}
+
+
+def test_centroids_match_numpy(embeddings):
+    df, vecs = embeddings
+    got = {(r["label"], r["pos"]): r["value"] for r in similarity.centroids(df).collect()}
+    for lbl in range(3):
+        members = vecs[[i for i in range(20) if i % 3 == lbl]]
+        for pos in range(8):
+            assert got[(lbl, pos)] == pytest.approx(members[:, pos].mean(), abs=1e-6)
+
+
+def test_row_level_violations_fused(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 0), (None, -1, 1), ("", 3, 2), ("d", -2, 3)],
+        "clip_id string, v int, partition_id int",
+    )
+    specs = [
+        ("pk_not_null", F.col("clip_id").isNull() | (F.trim(F.col("clip_id")) == ""), F.lit("bad pk")),
+        ("v_nonneg", F.col("v") < 0, F.concat(F.lit("v="), F.col("v").cast("string"))),
+    ]
+    rows = row_level_violations(df, specs).collect()
+    got = {(r["check_name"], r["partition_id"]) for r in rows}
+    assert got == {("pk_not_null", 1), ("pk_not_null", 2), ("v_nonneg", 1), ("v_nonneg", 3)}
+    details = {r["partition_id"]: r["detail"] for r in rows if r["check_name"] == "v_nonneg"}
+    assert details == {1: "v=-1", 3: "v=-2"}
+
+
+def test_drift_from_hist_rows_matches_spark_ops(spark):
+    cur = [{"column": "x", "bucket": b, "count": c} for b, c in [(1, 10), (2, 30), (3, 60)]]
+    base = [{"column": "x", "bucket": b, "count": c} for b, c in [(1, 30), (2, 40), (3, 30)]]
+    cur_df = spark.createDataFrame([(r["column"], r["bucket"], r["count"]) for r in cur],
+                                   "column string, bucket int, count long")
+    base_df = spark.createDataFrame([(r["column"], r["bucket"], r["count"]) for r in base],
+                                    "column string, bucket int, count long")
+    spark_psi = psi(cur_df, base_df).collect()[0]["psi"]
+    spark_ks = ks_binned(cur_df, base_df).collect()[0]["ks_d"]
+    local = drift_from_hist_rows(cur, base)[0]
+    assert local["psi"] == pytest.approx(spark_psi, rel=1e-9)
+    assert local["ks_d"] == pytest.approx(spark_ks, rel=1e-9)
+
+
+def test_media_decode_stats_exact(spark):
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    good = multimodal.encode_fake_rgb(px)
+    rows = [
+        ("m1", bytearray(good), "fake_rgb", 3, 2),
+        ("m2", bytearray(b"\x00" * 4), "fake_rgb", 1, 1),  # too short
+        ("m3", bytearray(good), "jpeg", 3, 2),  # unregistered codec → stub error
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.media_decode_stats(
+        media, passthrough=["width", "height"]).collect()}
+    assert got["m1"]["decode_ok"]
+    assert got["m1"]["dec_height"] == 2 and got["m1"]["dec_width"] == 3
+    assert got["m1"]["mean_intensity"] == pytest.approx(px.mean())
+    assert not got["m2"]["decode_ok"]
+    assert not got["m3"]["decode_ok"] and "no decoder registered" in got["m3"]["decode_err"]
+    # dims check: m1 declared 3x2 decoded 3x2 → no violation
+    v = multimodal.check_dims_consistency(
+        multimodal.media_decode_stats(media, passthrough=["width", "height"])
+    ).collect()
+    assert v == []
+
+
+def test_payload_fingerprint_dedup(spark):
+    import hashlib
+
+    p1, p2 = b"payload-one", b"payload-two"
+    media = spark.createDataFrame(
+        [("a", bytearray(p1)), ("b", bytearray(p1)), ("c", bytearray(p2))],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: r["sha256"] for r in multimodal.payload_fingerprint(media).collect()}
+    assert got["a"] == got["b"] == hashlib.sha256(p1).hexdigest()
+    assert got["c"] == hashlib.sha256(p2).hexdigest()
