@@ -7,12 +7,17 @@ pandas UDFs with zero per-row *Python-level serde* — each batch arrives as
 one Arrow RecordBatch, and per-clip math is numpy on the clip's own vector.
 
 Scale notes (100TB / 10^12 clips):
-- decode cost ∝ dur_ms and varies by codec → before the decode stage we
-  ``salt_repartition`` on a *deterministic* hash of clip_id (no rand();
-  resume must be stable — SURVEY.md §7), which randomizes durations across
-  tasks; AQE handles residual skew.
+- decode runs MAP-SIDE by default: scan splits are byte-proportional
+  (`maxPartitionBytes`) and PCM decode cost ∝ bytes, so splits are already
+  cost-balanced — shuffling the payload to "balance" it would push the full
+  dataset through shuffle disks. ``salt_repartition`` (deterministic
+  ``pmod(xxhash64(clip_id))`` — no rand(); resume must be stable, SURVEY.md
+  §7) is applied to the decoded stats frame (~0.03% of input bytes), or to
+  the payload itself via ``ValidationRun(salt_mode="bytes")`` when equal-byte
+  splits hide real decode-cost skew (codec-clustered files); AQE handles
+  residual skew at shuffle boundaries.
 - stats are fixed-width per clip → output is tiny relative to input, so the
-  expensive `bytes` column never crosses a shuffle after this stage.
+  expensive `bytes` column never crosses a shuffle.
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_profiler_spark.functions.text import scrub
+from data_profiler_spark.functions.windows import distributed_cumsum
 from data_profiler_spark.sources.tpch import load_table
 
 DEC = "decimal(18,4)"
@@ -209,18 +210,24 @@ FROM (
 
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Velocity/ABC: classify by the cumulative share *before* the current
-    row (find_velocity semantics, transform_service.py:825-836)."""
+    row (find_velocity semantics, transform_service.py:825-836).
+
+    Scale note: the ranking runs over ALL parts, so the running total uses
+    the two-phase distributed_cumsum (range-partition + offset join) rather
+    than a global Window.orderBy, which would funnel every part through one
+    task at 10^9-part scale."""
     li = T(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("lines"),
         F.sum(F.col("l_quantity").cast(DEC)).alias("units_dec"),
     )
-    w_cum = (
-        Window.orderBy(F.desc("lines"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = distributed_cumsum(
+        per_part,
+        [F.desc("lines"), F.asc("l_partkey")],
+        ["lines"],
+        include_total=True,
     )
-    w_all = Window.partitionBy()
-    cum_prev = (F.sum("lines").over(w_cum) - F.col("lines")) / F.sum("lines").over(w_all)
+    cum_prev = (F.col("cum_lines") - F.col("lines")) / F.col("total_lines")
     cls = (
         F.when(cum_prev < 0.25, "A")
         .when(cum_prev < 0.80, "B")
@@ -228,7 +235,7 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cum_prev < 0.99, "D")
         .otherwise("E")
     )
-    return per_part.select(
+    return cum.select(
         F.col("l_partkey").alias("partkey"),
         F.col("lines").cast("long").alias("lines"),
         F.col("units_dec").cast("double").alias("units"),
@@ -262,13 +269,15 @@ FROM c
 def velocity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("lines"))
-    w_cum = (
-        Window.orderBy(F.desc("lines"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # per-part ranking is unbounded → two-phase cumsum, not a global window
+    cum = distributed_cumsum(
+        per_part,
+        [F.desc("lines"), F.asc("l_partkey")],
+        ["lines"],
+        include_total=True,
     )
-    w_all = Window.partitionBy()
-    cum_share = F.sum("lines").over(w_cum) / F.sum("lines").over(w_all)
-    bucketed = per_part.select(
+    cum_share = F.col("cum_lines") / F.col("total_lines")
+    bucketed = cum.select(
         F.col("l_partkey"),
         F.col("lines"),
         (F.ceil(cum_share / 0.05) * F.lit(5)).cast("int").alias("pct_bucket"),
@@ -276,6 +285,7 @@ def velocity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_bucket = bucketed.groupBy("pct_bucket").agg(
         F.count(F.lit(1)).alias("n_parts"), F.sum("lines").alias("bucket_lines")
     )
+    # ladder frame is ≤20 rows (fixed 5%-buckets) — global window is safe here
     w_lad = Window.orderBy("pct_bucket").rowsBetween(Window.unboundedPreceding, 0)
     return per_bucket.select(
         "pct_bucket",

@@ -11,8 +11,8 @@ the (tiny) verdict frame.
 
 Dataflow (all checks share ONE decode pass and ONE persisted stats frame):
 
-    clips ──filter(pending partitions)──► salt_repartition
-          ──► decode_stats (mapInPandas, bytes dropped after)  [persist]
+    clips ──filter(pending partitions)──► decode_stats (mapInPandas,
+          map-side: bytes never shuffled) ──► salt_repartition(stats) [persist]
           ├─► constraint violations (union of anti-joins/filters)
           ├─► per-partition column profile (single fused agg)
           ├─► dur_ms histogram → PSI/KS vs baseline snapshot
@@ -78,13 +78,32 @@ class ValidationRun:
         dur_tol_ms: float = 5.0,
         psi_threshold: float = 0.25,
         ks_threshold: float = 0.2,
+        salt_mode: str = "stats",
     ):
+        """``salt_mode`` picks WHERE the anti-skew salt shuffle happens:
+
+        - ``"stats"`` (default): decode map-side straight off the scan —
+          the `bytes` column NEVER crosses a shuffle — then salt-repartition
+          the decoded stats frame (≈30 bytes/row, ~0.03% of the input) so
+          every downstream pass sees balanced row counts. At 10^12 clips a
+          payload shuffle is ~the full 100TB through shuffle disks; scan
+          splits are already byte-proportional (`maxPartitionBytes`), and for
+          PCM decode cost ∝ bytes, so map-side decode is inherently balanced.
+        - ``"bytes"``: salt the raw payload BEFORE decode. Only worth it for
+          adversarially ordered inputs where decode cost per byte varies
+          wildly (e.g. file groups clustered by a high-compression codec so
+          equal-byte splits hide 10× decoded-duration differences).
+        - ``"none"``: no explicit salt (tests / pre-balanced input).
+        """
         self.spark = spark
         self.io = io
         self.n_partitions = n_partitions
         self.dur_tol_ms = dur_tol_ms
         self.psi_threshold = psi_threshold
         self.ks_threshold = ks_threshold
+        if salt_mode not in ("stats", "bytes", "none"):
+            raise ValueError(f"salt_mode must be stats|bytes|none, got {salt_mode!r}")
+        self.salt_mode = salt_mode
         self.manifest = Manifest(io, spark)
 
     # -- baseline snapshot ---------------------------------------------------
@@ -133,19 +152,23 @@ class ValidationRun:
         if done or limit_partitions is not None:
             clips = clips.filter(F.col("partition_id").isin(pending))
 
-        # One decode pass, salted against dur/codec skew; every scalar column
-        # rides through the UDF so NOTHING downstream ever rescans clips —
-        # after this point the wide `bytes` column is gone and the whole
-        # suite (checks, profile, drift) runs off one persisted stats frame.
-        salted = salt_repartition(
-            clips.select(
-                "clip_id", "bytes", "sr_hz", "codec", "dur_ms", "transcript", "partition_id"
-            ),
-            self.spark.sparkContext.defaultParallelism * 2,
+        # One decode pass; every scalar column rides through the UDF so
+        # NOTHING downstream ever rescans clips — after this point the wide
+        # `bytes` column is gone and the whole suite (checks, profile, drift)
+        # runs off one persisted stats frame. Salt placement per salt_mode
+        # (see __init__): default decodes map-side and salts only the tiny
+        # stats frame, so the payload never crosses a shuffle.
+        width = self.spark.sparkContext.defaultParallelism * 2
+        selected = clips.select(
+            "clip_id", "bytes", "sr_hz", "codec", "dur_ms", "transcript", "partition_id"
         )
+        if self.salt_mode == "bytes":
+            selected = salt_repartition(selected, width)
         stats = decode_stats(
-            salted, passthrough=["sr_hz", "dur_ms", "codec", "transcript", "partition_id"]
+            selected, passthrough=["sr_hz", "dur_ms", "codec", "transcript", "partition_id"]
         )
+        if self.salt_mode == "stats":
+            stats = salt_repartition(stats, width)
         # Materialize the cache BEFORE fanning out: the violation union scans
         # stats from several branches of ONE job, and branches racing an
         # unpopulated cache each re-run the decode (4× the dominant cost).

@@ -28,6 +28,20 @@ CLUSTER_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
 }
 
+# Session confs for tables whose rows are WIDE (the ~100KB `bytes` audio
+# payload column). Both are runtime-settable SQL confs, applied only to
+# audio-table sessions so narrow relational scans keep the stock batching.
+# Sizing rule: batch_rows ≈ clamp(target_batch_bytes / avg_row_bytes);
+# defaults assume ~100KB rows → ~6MB reader batches, ~50MB Arrow batches.
+# With the stock 4096-row batches a single columnar batch is ~400MB of
+# binary, and the vectorized reader's WritableColumnVector grows by
+# repeated doubling (copying) per batch — measured 10-15× slower scans of
+# a 6GB clips table than with 64-row batches, before Python even runs.
+AUDIO_TABLE_CONFS: dict[str, str] = {
+    "spark.sql.parquet.columnarReaderBatchSize": "64",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+}
+
 
 def get_spark(
     app_name: str = "data_profiler_spark",
@@ -45,11 +59,21 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "28g")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", mem)
+        # Pin the heap (-Xms = -Xmx) and pre-touch it at JVM start. Without
+        # this, G1 uncommits idle regions and re-faults them under load —
+        # on this sandbox kernel (DAMON proactive page reclaim active) that
+        # produced ~125k minor faults/sec and >90% system CPU time with
+        # 3-10× run-to-run variance on the decode path. A cluster deploy
+        # sets the same via spark.executor.extraJavaOptions.
+        # NOTE: only effective when the JVM starts from this builder (plain
+        # `python`); under spark-submit pass --driver-java-options instead.
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
     )
     for k, v in CLUSTER_CONFS.items():

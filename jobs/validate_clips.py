@@ -30,6 +30,23 @@ def main() -> int:
     ap.add_argument("--write-baseline", action="store_true", help="persist drift baseline and exit")
     ap.add_argument("--limit-partitions", type=int, default=None, help="simulate a killed job")
     ap.add_argument("--clips-path", default=None, help="read clips parquet instead of generating")
+    ap.add_argument("--transcripts-path", default=None, help="read transcripts parquet instead of generating")
+    ap.add_argument(
+        "--write-input",
+        default=None,
+        metavar="DIR",
+        help="materialize the synthetic clips+transcripts tables as parquet "
+        "under DIR and exit; the timed runs then scan them via --clips-path/"
+        "--transcripts-path (the production shape: validation reads a table, "
+        "it does not share a pipeline with a generator)",
+    )
+    ap.add_argument(
+        "--salt-mode",
+        default="stats",
+        choices=["stats", "bytes", "none"],
+        help="anti-skew salt placement: stats=map-side decode, salt the small "
+        "stats frame (default); bytes=shuffle the payload before decode",
+    )
     ap.add_argument(
         "--warmup",
         action="store_true",
@@ -40,13 +57,18 @@ def main() -> int:
 
     from data_profiler_spark import fixtures
     from data_profiler_spark.plans.runner import ValidationRun, summarize
-    from data_profiler_spark.session import get_spark
+    from data_profiler_spark.session import AUDIO_TABLE_CONFS, get_spark
     from data_profiler_spark.sources.tableio import ParquetTableIO
 
-    spark = get_spark(app_name="validate_clips", cores=args.cores,
-                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    spark = get_spark(
+        app_name="validate_clips",
+        cores=args.cores,
+        extra_confs={"spark.ui.showConsoleProgress": "false", **AUDIO_TABLE_CONFS},
+    )
     io = ParquetTableIO(args.output)
-    run = ValidationRun(spark, io, n_partitions=args.partitions)
+    run = ValidationRun(
+        spark, io, n_partitions=args.partitions, salt_mode=args.salt_mode
+    )
 
     if args.clips_path:
         clips = spark.read.parquet(args.clips_path)
@@ -64,6 +86,16 @@ def main() -> int:
         )
         clips = fixtures.generate_clips(spark, args.n, seed=args.seed, corruptions=corr)
 
+    if args.write_input:
+        clips.write.mode("overwrite").parquet(f"{args.write_input}/clips")
+        fixtures.generate_transcripts(spark, args.n, seed=args.seed).write.mode(
+            "overwrite"
+        ).parquet(f"{args.write_input}/transcripts")
+        n_written = spark.read.parquet(f"{args.write_input}/clips").count()
+        print(json.dumps({"input_written": args.write_input, "rows": n_written}))
+        spark.stop()
+        return 0
+
     if args.warmup:
         import tempfile
 
@@ -78,7 +110,10 @@ def main() -> int:
         spark.stop()
         return 0
 
-    transcripts = fixtures.generate_transcripts(spark, args.n, seed=args.seed)
+    if args.transcripts_path:
+        transcripts = spark.read.parquet(args.transcripts_path)
+    else:
+        transcripts = fixtures.generate_transcripts(spark, args.n, seed=args.seed)
     res = run.run(clips, transcripts=transcripts, limit_partitions=args.limit_partitions)
 
     print(summarize(res), file=sys.stderr)

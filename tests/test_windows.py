@@ -1,0 +1,64 @@
+"""distributed_cumsum must equal the naive single-task global-window cumsum
+bit-for-bit (same total order), at every partition count — including
+num_partitions > distinct keys and heavy duplicate sort-key values broken
+by a unique tie-breaker."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_profiler_spark.functions.windows import distributed_cumsum
+
+
+def _naive(df, order_by, values, include_total):
+    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    cols = [F.col(c) for c in df.columns] + [
+        F.sum(v).over(w).alias(f"cum_{v}") for v in values
+    ]
+    if include_total:
+        w_all = Window.partitionBy()
+        cols += [F.sum(v).over(w_all).alias(f"total_{v}") for v in values]
+    return df.select(*cols)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_naive_with_ties_and_totals(spark):
+    # 500 rows, only 7 distinct sort-key values → ties straddle every
+    # range boundary; id is the unique tie-breaker making the order total.
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 3 + 1).alias("v"),
+            (F.col("id") % 11).cast("double").alias("w"),
+        )
+        .repartition(8)
+    )
+    order = [F.desc("k"), F.asc("id")]
+    expected = _rows(_naive(df, order, ["v", "w"], True))
+    for n_parts in (1, 4, 16, 1000):
+        got = _rows(
+            distributed_cumsum(
+                df, order, ["v", "w"], num_partitions=n_parts, include_total=True
+            )
+        )
+        assert got == expected, f"mismatch at num_partitions={n_parts}"
+
+
+def test_no_totals_column_shape(spark):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    out = distributed_cumsum(df, [F.asc("id")], ["v"], num_partitions=4)
+    assert out.columns == ["id", "v", "cum_v"]
+    last = out.orderBy(F.desc("id")).first()
+    assert last["cum_v"] == df.agg(F.sum("v")).first()[0]
+
+
+def test_empty_input(spark):
+    df = spark.range(0).select(F.col("id"), F.lit(1).alias("v"))
+    out = distributed_cumsum(df, [F.asc("id")], ["v"], num_partitions=4)
+    assert out.count() == 0
