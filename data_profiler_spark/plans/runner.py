@@ -11,7 +11,7 @@ the (tiny) verdict frame.
 
 Dataflow (all checks share ONE decode pass and ONE persisted stats frame):
 
-    clips ──filter(pending partitions)──► decode_stats (mapInPandas,
+    clips ──filter(pending partitions)──► decode_stats (mapInArrow,
           map-side: bytes never shuffled) ──► salt_repartition(stats) [persist]
           ├─► constraint violations (union of anti-joins/filters)
           ├─► per-partition column profile (single fused agg)
@@ -243,28 +243,76 @@ class ValidationRun:
         snap = uuid.uuid4().hex[:16]
         tag = F.lit(snap).alias("snapshot_id")
 
-        # job 1: decode + all check branches → violations table (+cache).
-        self.io.append(all_violations.select(tag, "*"), "violations")
+        # The post-decode tail is several INDEPENDENT jobs over the same
+        # persisted stats cache (violations, per-partition totals, profile
+        # agg, drift histogram). Run them concurrently from driver threads —
+        # Spark schedules concurrent jobs fine, idle cores pick up the next
+        # job's tasks — instead of serializing ~5 small jobs' full latency.
+        # The verdict grid (explicit PASS rows for clean partitions,
+        # DataFiles.py:52-77 semantics) is assembled driver-side: it is
+        # |checks|×|partitions| rows of metadata, and building it as a
+        # crossJoin+left-join DAG costs more in planning than the data is
+        # worth at any scale.
+        from concurrent.futures import ThreadPoolExecutor
 
-        mark("violations write")
-        # jobs 2+3: two tiny collects off the caches — per-(check,partition)
-        # violation counts and per-partition row totals. The verdict grid
-        # (explicit PASS rows for clean partitions, DataFiles.py:52-77
-        # semantics) is assembled driver-side: it is |checks|×|partitions|
-        # rows of metadata, and building it as a crossJoin+left-join DAG costs
-        # more in planning than the data is worth at any scale.
-        counts = {
-            (r["check_name"], r["partition_id"]): r["n"]
-            for r in all_violations.groupBy("check_name", "partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        totals_rows = (
-            stats.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("rows_checked"))
-            .collect()
-        )
-        mark("verdict collects")
+        def job_violations():
+            # write first (fills the cache), then count off the cache
+            self.io.append(all_violations.select(tag, "*"), "violations")
+            return {
+                (r["check_name"], r["partition_id"]): r["n"]
+                for r in all_violations.groupBy("check_name", "partition_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        def job_totals():
+            return (
+                stats.groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("rows_checked"))
+                .collect()
+            )
+
+        def job_profile():
+            # whole per-partition profile as ONE fused wide agg over stats
+            # (clip scalars + decoded-audio metrics together), melted
+            # driver-side.
+            return column_profile_collected(
+                stats,
+                PROFILE_COLUMNS + STATS_PROFILE_COLUMNS,
+                group_cols=["partition_id"],
+            )
+
+        def job_drift():
+            # dur_ms histogram vs baseline → PSI + binned-KS. The histogram
+            # aggregations run distributed; the comparison is ≤ nbins+2 rows
+            # per column, so it is computed driver-side (drift_from_hist_rows)
+            # instead of as two join DAGs.
+            if not self.io.exists(self.spark, "baseline_hist"):
+                return None
+            base_rows = self.io.read(self.spark, "baseline_hist").collect()
+            cur_rows = histogram(
+                stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
+            ).collect()
+            return [
+                {
+                    **d,
+                    "psi_passed": d["psi"] <= self.psi_threshold,
+                    "ks_passed": d["ks_d"] <= self.ks_threshold,
+                }
+                for d in drift_from_hist_rows(cur_rows, base_rows)
+            ]
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_counts = pool.submit(job_violations)
+            f_totals = pool.submit(job_totals)
+            f_prof = pool.submit(job_profile)
+            f_drift = pool.submit(job_drift)
+            counts = f_counts.result()
+            totals_rows = f_totals.result()
+            prof_rows = f_prof.result()
+            drift_rows = f_drift.result()
+        mark("parallel tail (violations+totals+profile+drift)")
+
         verdict_rows = [
             {
                 "check_name": c,
@@ -278,47 +326,22 @@ class ValidationRun:
             for t in totals_rows
         ]
         verdict_df = self.spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
-        mark("verdict createDF")
-        self.io.append(verdict_df.select(tag, "*"), "verdicts")
-
+        self.io.append(verdict_df.coalesce(1).select(tag, "*"), "verdicts")
         mark("verdict write")
-        # job 4: whole per-partition profile as ONE fused wide agg over stats
-        # (clip scalars + decoded-audio metrics together), melted driver-side.
-        prof_rows = column_profile_collected(
-            stats, PROFILE_COLUMNS + STATS_PROFILE_COLUMNS, group_cols=["partition_id"]
-        )
-        mark("profile collect")
+
         profile = self.spark.createDataFrame(
             prof_rows, "partition_id int, column string, metric string, value double"
         )
-        mark("profile createDF")
-        self.io.append(profile.select(tag, "*"), "profile")
+        self.io.append(profile.coalesce(1).select(tag, "*"), "profile")
+        mark("profile write")
 
-        mark("profile")
-        # job 5 (if baseline): dur_ms histogram vs baseline → PSI + binned-KS.
-        # The two histogram aggregations run distributed; the comparison is
-        # ≤ nbins+2 rows per column, so it is computed driver-side
-        # (drift_from_hist_rows) instead of as two join DAGs.
         drift = None
-        if self.io.exists(self.spark, "baseline_hist"):
-            base_rows = self.io.read(self.spark, "baseline_hist").collect()
-            cur_rows = histogram(
-                stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
-            ).collect()
-            drift_rows = [
-                {
-                    **d,
-                    "psi_passed": d["psi"] <= self.psi_threshold,
-                    "ks_passed": d["ks_d"] <= self.ks_threshold,
-                }
-                for d in drift_from_hist_rows(cur_rows, base_rows)
-            ]
+        if drift_rows is not None:
             drift = self.spark.createDataFrame(
                 drift_rows,
                 "column string, psi double, ks_d double, psi_passed boolean, ks_passed boolean",
             )
-            self.io.append(drift.select(tag, "*"), "drift")
-
+            self.io.append(drift.coalesce(1).select(tag, "*"), "drift")
         mark("drift")
         per_part: dict[int, int] = {}
         viol_per_part: dict[int, int] = {}

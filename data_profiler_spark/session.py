@@ -59,21 +59,28 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
-    mem = os.environ.get("SPARK_DRIVER_MEMORY", "28g")
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", mem)
-        # Pin the heap (-Xms = -Xmx) and pre-touch it at JVM start. Without
-        # this, G1 uncommits idle regions and re-faults them under load —
-        # on this sandbox kernel (DAMON proactive page reclaim active) that
-        # produced ~125k minor faults/sec and >90% system CPU time with
-        # 3-10× run-to-run variance on the decode path. A cluster deploy
-        # sets the same via spark.executor.extraJavaOptions.
+        # Pin the heap (-Xms = -Xmx), pre-touch it at JVM start, and use ZGC.
+        # Without pinning, G1 uncommits idle regions and re-faults them under
+        # load — on this sandbox kernel (DAMON proactive page reclaim active)
+        # that produced ~125k minor faults/sec and >90% system CPU time with
+        # 3-10× run-to-run variance on the decode path. A MODEST heap beats a
+        # big one here: the spare RAM keeps the scanned input in page cache.
+        # ZGC (concurrent, no stop-the-world young pauses) measured fastest
+        # and most stable for the allocation-heavy wide-binary scan at 32
+        # threads (best-of-5 decode: 11.7s vs 13.1s G1 vs 14.6s stock-heap).
+        # A cluster deploy sets the same via spark.executor.extraJavaOptions.
         # NOTE: only effective when the JVM starts from this builder (plain
         # `python`); under spark-submit pass --driver-java-options instead.
-        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseZGC",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in CLUSTER_CONFS.items():

@@ -131,3 +131,44 @@ def test_manifest_snapshot_lineage(spark, tmp_io):
     # outputs are tagged with the same snapshot id (lineage)
     prof = tmp_io.read(spark, "profile")
     assert prof.filter(F.col("snapshot_id") == res.snapshot_id).count() == prof.count()
+
+
+@pytest.mark.parametrize("mode", ["bytes", "none"])
+def test_salt_modes_agree(spark, tmp_io, corrupted, mode):
+    """Salt placement is a physical-plan choice; verdicts and violation rows
+    must be identical to the default map-side-decode ('stats') mode."""
+    import shutil
+    import tempfile
+
+    from data_profiler_spark.sources.tableio import ParquetTableIO
+
+    clips, tr = corrupted
+    base = ValidationRun(spark, tmp_io, n_partitions=PARTS, salt_mode="stats").run(
+        clips, transcripts=tr
+    )
+    root = tempfile.mkdtemp(prefix="dps_salt_")
+    try:
+        other = ValidationRun(
+            spark, ParquetTableIO(root), n_partitions=PARTS, salt_mode=mode
+        ).run(clips, transcripts=tr)
+        key = ["check_name", "partition_id"]
+        a = sorted(
+            (r["check_name"], r["partition_id"], r["passed"], r["violation_count"])
+            for r in base.verdicts.select(*key, "passed", "violation_count").collect()
+        )
+        b = sorted(
+            (r["check_name"], r["partition_id"], r["passed"], r["violation_count"])
+            for r in other.verdicts.select(*key, "passed", "violation_count").collect()
+        )
+        assert a == b
+        va = sorted(
+            (r["check_name"], r["clip_id"])
+            for r in base.violations.select("check_name", "clip_id").collect()
+        )
+        vb = sorted(
+            (r["check_name"], r["clip_id"])
+            for r in other.violations.select("check_name", "clip_id").collect()
+        )
+        assert va == vb
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
