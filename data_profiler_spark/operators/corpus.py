@@ -12,10 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_profiler_spark.operators.corpus_engine import ENGINE_QUERIES
 from data_profiler_spark.operators.corpus_relational import RELATIONAL_QUERIES
+from data_profiler_spark.operators.corpus_reports import REPORT_QUERIES
 from data_profiler_spark.operators.corpus_text import TEXT_QUERIES
 
 CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **RELATIONAL_QUERIES,
+    **REPORT_QUERIES,
     **TEXT_QUERIES,
     **ENGINE_QUERIES,
 }
