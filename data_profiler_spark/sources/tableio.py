@@ -36,6 +36,22 @@ class TableIO(ABC):
     @abstractmethod
     def exists(self, spark: SparkSession, table: str) -> bool: ...
 
+    @abstractmethod
+    def upsert(self, df: DataFrame, table: str, key: str) -> str:
+        """Keyed update-or-insert — the reference's batched keyed UPDATE
+        (output_tables_service.py:484-520, 1k-row batches with a "real slow"
+        comment) re-expressed as one transactional merge. Iceberg: MERGE
+        INTO. Parquet (test path): anti-join + union + atomic dir swap."""
+
+    @abstractmethod
+    def delete_where(self, spark: SparkSession, table: str, predicate: str) -> str:
+        """Predicate delete — the reference's per-project delete suite
+        (resources/sql/PROD/delete/delete_from_tables_by_project_number.sql,
+        child-before-parent ordering at database/helpers/constants.py:144-162).
+        Lake tables have no FK ordering constraint; one DELETE WHERE per
+        table suffices and Iceberg makes it a metadata-level commit when the
+        predicate aligns with partitioning."""
+
 
 class ParquetTableIO(TableIO):
     def __init__(self, root: str):
@@ -77,6 +93,34 @@ class ParquetTableIO(TableIO):
     def exists(self, spark: SparkSession, table: str) -> bool:
         p = self._path(table)
         return os.path.exists(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+
+    def _rewrite(self, df: DataFrame, table: str, mode: str) -> str:
+        """Materialize ``df`` beside the table, then atomically swap dirs —
+        Spark cannot overwrite a path that feeds the very plan being
+        executed (lazy scan of the old files)."""
+        path = self._path(table)
+        tmp, old = f"{path}__tmp_{uuid.uuid4().hex[:8]}", f"{path}__old"
+        df.write.parquet(tmp)
+        import shutil
+
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return self._record(table, mode)
+
+    def upsert(self, df: DataFrame, table: str, key: str) -> str:
+        if not self.exists(df.sparkSession, table):
+            return self.overwrite(df, table)
+        existing = self.read(df.sparkSession, table)
+        kept = existing.join(df.select(key).distinct(), key, "left_anti")
+        return self._rewrite(kept.unionByName(df), table, "upsert")
+
+    def delete_where(self, spark: SparkSession, table: str, predicate: str) -> str:
+        from pyspark.sql import functions as F
+
+        remaining = self.read(spark, table).filter(~F.expr(predicate))
+        return self._rewrite(remaining, table, "delete")
 
 
 class IcebergTableIO(TableIO):
@@ -121,3 +165,18 @@ class IcebergTableIO(TableIO):
 
     def exists(self, spark: SparkSession, table: str) -> bool:  # pragma: no cover
         return spark.catalog.tableExists(self._ident(table))
+
+    def upsert(self, df: DataFrame, table: str, key: str) -> str:  # pragma: no cover
+        spark = df.sparkSession
+        view = f"__upsert_src_{uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        spark.sql(
+            f"MERGE INTO {self._ident(table)} t USING {view} s ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        spark.catalog.dropTempView(view)
+        return self._last_snapshot(spark, table)
+
+    def delete_where(self, spark: SparkSession, table: str, predicate: str) -> str:  # pragma: no cover
+        spark.sql(f"DELETE FROM {self._ident(table)} WHERE {predicate}")
+        return self._last_snapshot(spark, table)
