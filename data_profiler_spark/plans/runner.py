@@ -118,11 +118,18 @@ class ValidationRun:
         clips: DataFrame,
         transcripts: DataFrame | None = None,
         limit_partitions: int | None = None,
+        filter_pending: bool = True,
     ) -> RunResult:
         """Validate all partitions not yet in the manifest.
 
         ``limit_partitions`` caps how many pending partitions this run
         processes — used by the resume test to simulate a killed job.
+        ``filter_pending=False`` validates every row regardless of manifest
+        state — the streaming path uses this: each micro-batch holds only
+        NEW files (exactly-once via the stream checkpoint), so rows hashing
+        into logical partitions completed by earlier batches must still be
+        checked; the manifest then records per-batch lineage, not a skip
+        filter.
         """
         t0 = time.monotonic()
         verbose = os.environ.get("DPS_VERBOSE_TIMING") == "1"
@@ -136,7 +143,7 @@ class ValidationRun:
 
         clips = with_partition_id(clips, self.n_partitions)
 
-        done = self.manifest.completed_partitions()
+        done = self.manifest.completed_partitions() if filter_pending else set()
         pending = sorted(set(range(self.n_partitions)) - done)
         if limit_partitions is not None:
             pending = pending[:limit_partitions]

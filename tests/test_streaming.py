@@ -1,0 +1,125 @@
+"""Incremental (Structured Streaming) validation: exactly-once over landed
+files via the stream checkpoint, full check suite per micro-batch."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_profiler_spark import fixtures
+from data_profiler_spark.streaming import validate_stream
+
+N1, N2 = 160, 90
+PARTS = 8
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="dps_stream_")
+    yield f"{d}/in", f"{d}/cp"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _land(spark, n, prefix=None):
+    df = fixtures.generate_clips(spark, n, seed=7)
+    if prefix:
+        df = df.withColumn("clip_id", F.concat(F.lit(prefix), F.col("clip_id")))
+    return df
+
+
+def test_incremental_exactly_once(spark, tmp_io, dirs):
+    in_dir, cp = dirs
+    _land(spark, N1).write.mode("append").parquet(in_dir)
+
+    run1 = validate_stream(spark, tmp_io, in_dir, cp, n_partitions=PARTS)
+    assert run1.rows == N1
+    assert run1.all_passed
+
+    # no new files → no batches processed
+    run_idle = validate_stream(spark, tmp_io, in_dir, cp, n_partitions=PARTS)
+    assert run_idle.rows == 0
+
+    # land a second tranche; only the NEW files are validated
+    _land(spark, N2, prefix="b2-").write.mode("append").parquet(in_dir)
+    run2 = validate_stream(spark, tmp_io, in_dir, cp, n_partitions=PARTS)
+    assert run2.rows == N2
+
+    # outputs accumulate across batches with distinct snapshot lineage
+    verd = tmp_io.read(spark, "verdicts")
+    snaps = {r["snapshot_id"] for r in verd.select("snapshot_id").distinct().collect()}
+    assert len(snaps) == 2
+    total_checked = (
+        verd.filter(F.col("check_name") == "pk_not_null")
+        .agg(F.sum("rows_checked"))
+        .first()[0]
+    )
+    assert total_checked == N1 + N2
+
+
+def test_stream_detects_corruptions(spark, tmp_io, dirs):
+    in_dir, cp = dirs
+    corr = fixtures.Corruptions(null_clip_id_every=31, undecodable_every=47)
+    fixtures.generate_clips(spark, 120, seed=9, corruptions=corr).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run = validate_stream(spark, tmp_io, in_dir, cp, n_partitions=PARTS)
+    assert run.rows == 120
+    assert not run.all_passed
+    failed = {
+        r["check_name"]
+        for r in run.batches[0]
+        .verdicts.filter(~F.col("passed"))
+        .select("check_name")
+        .distinct()
+        .collect()
+    }
+    assert {"pk_not_null", "audio_decodable"} <= failed
+
+
+def test_stateful_sessionize_across_batches(spark, dirs):
+    """A session spanning two micro-batches must be counted ONCE — the
+    per-user GroupState carries last-event time across batches."""
+    from data_profiler_spark.streaming.sessionize import sessionize_stream
+
+    in_dir, cp = dirs
+
+    def land(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id string, ts timestamp, user_id string, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    # batch 1: u1 has one session (gap 10s), u2 one session
+    land(
+        [
+            ("e1", ts(0), "u1", "view", 1.0, "{}"),
+            ("e2", ts(10), "u1", "view", 1.0, "{}"),
+            ("e3", ts(0), "u2", "view", 1.0, "{}"),
+        ]
+    )
+    s1 = sessionize_stream(spark, in_dir, cp, gap_s=1800)
+    assert s1["u1"] == (1, 2) and s1["u2"] == (1, 1)
+
+    # batch 2: u1 continues within the gap (NOT a new session) and later
+    # starts a genuinely new session; u2 exceeds the gap → new session
+    land(
+        [
+            ("e4", ts(100), "u1", "view", 1.0, "{}"),
+            ("e5", ts(100 + 2000), "u1", "view", 1.0, "{}"),
+            ("e6", ts(2000), "u2", "view", 1.0, "{}"),
+        ]
+    )
+    s2 = sessionize_stream(spark, in_dir, cp, gap_s=1800)
+    assert s2["u1"] == (2, 4)  # continued + one new session
+    assert s2["u2"] == (2, 2)  # gap exceeded → second session
