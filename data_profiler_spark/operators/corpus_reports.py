@@ -59,13 +59,14 @@ def part_material_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.date_trunc("month", F.col("l_shipdate"))).alias("periods"),
     )
 
-    ship = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("ship_qty")
-    )
-    ret = (
-        li.filter(F.col("l_returnflag") == "R")
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("ret_qty"))
+    # The reference's ib/ob subqueries read different tables; here both
+    # channels live in lineitem, so they FUSE into one conditional-sum agg —
+    # one scan instead of two (each scan is 600M+ rows at sf100).
+    ship_ret = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("ship_qty"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast(DEC))
+        ).alias("ret_qty"),
     )
     # two-level: per (month, part) sum → per part avg/max (inv_by_sku shape)
     monthly = li.groupBy(
@@ -76,8 +77,7 @@ def part_material_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = (
-        part.join(ship, part.p_partkey == ship.l_partkey, "left").drop("l_partkey")
-        .join(ret, part.p_partkey == ret.l_partkey, "left").drop("l_partkey")
+        part.join(ship_ret, part.p_partkey == ship_ret.l_partkey, "left").drop("l_partkey")
         .join(inv, part.p_partkey == inv.l_partkey, "left").drop("l_partkey")
         .crossJoin(F.broadcast(days))
     )
@@ -107,12 +107,10 @@ WITH days AS (
          COUNT(DISTINCT CASE WHEN l_returnflag='R' THEN l_shipdate END) AS return_days,
          COUNT(DISTINCT date_trunc('month', l_shipdate)) AS periods
   FROM lineitem
-), ship AS (
-  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ship_qty
+), ship_ret AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ship_qty,
+         SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS ret_qty
   FROM lineitem GROUP BY l_partkey
-), ret AS (
-  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS ret_qty
-  FROM lineitem WHERE l_returnflag='R' GROUP BY l_partkey
 ), monthly AS (
   SELECT date_trunc('month', l_shipdate) AS period, l_partkey,
          SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
@@ -128,11 +126,10 @@ SELECT p.p_partkey AS partkey, p.p_brand AS brand,
        ROUND(CAST(i.inv_sum AS DOUBLE) / d.periods, 2) AS avg_monthly_qty,
        i.max_monthly_qty,
        CAST(d.return_days AS BIGINT) AS return_days,
-       ROUND(CAST(r.ret_qty AS DOUBLE) / d.return_days, 2) AS ret_qty_per_day,
-       CAST(r.ret_qty AS DOUBLE) AS total_ret_qty
+       ROUND(CAST(s.ret_qty AS DOUBLE) / d.return_days, 2) AS ret_qty_per_day,
+       CAST(s.ret_qty AS DOUBLE) AS total_ret_qty
 FROM part p
-LEFT JOIN ship s ON p.p_partkey = s.l_partkey
-LEFT JOIN ret r ON p.p_partkey = r.l_partkey
+LEFT JOIN ship_ret s ON p.p_partkey = s.l_partkey
 LEFT JOIN inv i ON p.p_partkey = i.l_partkey
 CROSS JOIN days d
 """
