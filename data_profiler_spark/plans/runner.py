@@ -47,11 +47,16 @@ from data_profiler_spark.checks.constraints import row_level_violations
 from data_profiler_spark.drift import drift_from_hist_rows
 from data_profiler_spark.plans.manifest import Manifest
 from data_profiler_spark.profiling import column_profile_collected, histogram
+from data_profiler_spark.profiling.tdigest import merge_sketch_rows, sketch_by_group
 from data_profiler_spark.schemas import VERDICT_SCHEMA, VIOLATION_SCHEMA
 from data_profiler_spark.sources.tableio import TableIO
 
 PROFILE_COLUMNS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
 STATS_PROFILE_COLUMNS = ["decoded_ms", "rms", "peak", "clip_ratio", "zero_cross_rate"]
+# Columns that persist a mergeable t-digest per partition: table-level
+# quantiles across partitions profiled by DIFFERENT (resumed) runs come
+# from merging stored sketches, never from re-reading completed partitions.
+SKETCH_COLUMNS = ["dur_ms", "decoded_ms", "rms"]
 DUR_HIST_BINS = 40
 
 
@@ -105,6 +110,20 @@ class ValidationRun:
             raise ValueError(f"salt_mode must be stats|bytes|none, got {salt_mode!r}")
         self.salt_mode = salt_mode
         self.manifest = Manifest(io, spark)
+
+    # -- cross-run quantiles from persisted sketches -------------------------
+    def global_quantiles(self, column: str, qs: list[float]) -> dict[float, float]:
+        """Table-level quantiles of ``column`` across ALL partitions in the
+        sketches table — including partitions profiled by earlier (resumed)
+        runs. Pure driver-side sketch merge; nothing is re-read or re-decoded.
+        """
+        rows = (
+            self.io.read(self.spark, "sketches")
+            .filter(F.col("column") == column)
+            .collect()
+        )
+        digest = merge_sketch_rows(rows, column=column)
+        return {q: digest.quantile(q) for q in qs}
 
     # -- baseline snapshot ---------------------------------------------------
     def write_baseline(self, clips: DataFrame) -> None:
@@ -309,16 +328,24 @@ class ValidationRun:
                 for d in drift_from_hist_rows(cur_rows, base_rows)
             ]
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        def job_sketches():
+            # mergeable per-partition quantile sketches (profiling/tdigest)
+            self.io.append(
+                sketch_by_group(stats, SKETCH_COLUMNS).select(tag, "*"), "sketches"
+            )
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
             f_counts = pool.submit(job_violations)
             f_totals = pool.submit(job_totals)
             f_prof = pool.submit(job_profile)
             f_drift = pool.submit(job_drift)
+            f_sketch = pool.submit(job_sketches)
             counts = f_counts.result()
             totals_rows = f_totals.result()
             prof_rows = f_prof.result()
             drift_rows = f_drift.result()
-        mark("parallel tail (violations+totals+profile+drift)")
+            f_sketch.result()
+        mark("parallel tail (violations+totals+profile+drift+sketches)")
 
         verdict_rows = [
             {
