@@ -367,6 +367,51 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 """
 
 
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", "label", k=ANN_K, nprobe=IVF_NPROBE
+    )
+
+
+def _ivf_topk_sql() -> str:
+    return f"""
+WITH cent AS (
+  SELECT label, array_agg(value ORDER BY pos) AS cvec FROM (
+    SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS value FROM (
+      SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+), assign AS (
+  SELECT vec_id, embedding, label AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.label,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.label ASC) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, qv, label AS list_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.label,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.label ASC) AS r
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE r <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id, ROUND({_cos_sql('p.qv', 'a.embedding')}, 6) AS cosine
+  FROM assign a JOIN probes p ON a.list_id = p.list_id WHERE a.vec_id != p.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroids(T(spark, sf_dir, "embeddings"), "label", "embedding")
 
@@ -418,6 +463,7 @@ TEXT_QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _lsh_topk_sql()),
+    "ann_ivf_topk": (ann_ivf_topk, _ivf_topk_sql()),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
 }

@@ -149,6 +149,81 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the scale path alongside LSH.
+
+    Coarse quantizer: per-``label_col`` centroids (``centroids()``; the
+    provided labels seed the codebook — a production build iterates Lloyd
+    steps, each of which is exactly this assignment + centroid recompute).
+    Every corpus vector is ASSIGNED to its nearest centroid (the inverted
+    list); each query probes its ``nprobe`` nearest lists and scores only
+    those lists' members. The centroid table is O(#lists) → broadcast both
+    times; the candidate join is an equi-join on list id, so at 100 TB the
+    corpus partitions by list and a query touches nprobe/#lists of the data.
+
+    Ordering ties are broken on (round(sim, 6) desc, label asc) so an
+    external oracle folding dot products in the same index order assigns
+    identically (functions/vectors.py determinism note).
+    """
+    cents = (
+        centroids(corpus, label_col, vec_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "value"))),
+                lambda x: x["value"],
+            ).alias("__centvec")
+        )
+    )
+
+    def nearest(side: DataFrame, id_alias: str, vec_alias: str, top_n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            id_alias,
+            vec_alias,
+            "label",
+            F.round(
+                cosine_similarity(F.col(vec_alias), F.col("__centvec")), 6
+            ).alias("__sim"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.asc("label"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top_n)
+            .select(id_alias, vec_alias, F.col("label").alias("list_id"))
+        )
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    assigned = nearest(c, "vec_id", "__cvec", 1)
+    probes = nearest(q, "query_id", "__qvec", nprobe)
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
 def centroids(
     corpus: DataFrame,
     label_col: str = "label",
