@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) over the engine's pure-python kernels —
+the reference has no property coverage at all (SURVEY.md §5.1); these pin
+the invariants the Spark layers rely on, without spinning jobs per example.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from data_profiler_spark.audio.decode import decode_pcm16
+from data_profiler_spark.fixtures import encode_pcm16_raw, encode_pcm16_wav
+from data_profiler_spark.profiling.tdigest import TDigest
+
+finite_pcm = arrays(
+    np.float64,
+    st.integers(min_value=1, max_value=4096),
+    elements=st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+)
+
+
+@given(pcm=finite_pcm, sr=st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_quantization_bound(pcm, sr):
+    """encode→decode is lossless up to int16 quantization (the SNR≥30dB
+    fidelity invariant rests on this)."""
+    decoded = decode_pcm16(encode_pcm16_wav(pcm, sr), "pcm16_wav")
+    clipped = np.clip(pcm, -1.0, 1.0)
+    assert decoded.shape == pcm.shape
+    assert np.max(np.abs(decoded - clipped)) <= 1.0 / 32767.0 + 1e-9
+
+
+@given(pcm=finite_pcm)
+@settings(max_examples=30, deadline=None)
+def test_raw_and_wav_agree(pcm):
+    raw = decode_pcm16(encode_pcm16_raw(pcm), "pcm16_raw")
+    wav = decode_pcm16(encode_pcm16_wav(pcm, 16000), "pcm16_wav")
+    assert np.array_equal(raw, wav)
+
+
+@given(pcm=finite_pcm, cut=st.integers(min_value=0, max_value=43))
+@settings(max_examples=30, deadline=None)
+def test_truncated_wav_never_decodes_silently(pcm, cut):
+    """A payload truncated inside the header must raise ValueError (→ a
+    violation row), never return garbage PCM."""
+    payload = encode_pcm16_wav(pcm, 16000)[:cut]
+    with pytest.raises(ValueError):
+        decode_pcm16(payload, "pcm16_wav")
+
+
+@given(
+    data=arrays(
+        np.float64,
+        st.integers(min_value=1, max_value=3000),
+        elements=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_tdigest_invariants(data):
+    d = TDigest.from_values(data)
+    # extremes are exact
+    assert d.quantile(0.0) == pytest.approx(float(data.min()))
+    assert d.quantile(1.0) == pytest.approx(float(data.max()))
+    # quantile function is monotone and within the data range
+    qs = np.linspace(0, 1, 21)
+    vals = [d.quantile(q) for q in qs]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    assert all(data.min() - 1e-9 <= v <= data.max() + 1e-9 for v in vals)
+    # total weight is conserved
+    assert d.n == pytest.approx(len(data))
+
+
+@given(
+    data=arrays(
+        np.float64,
+        st.integers(min_value=10, max_value=2000),
+        elements=st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+    ),
+    n_splits=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=25, deadline=None)
+def test_tdigest_merge_weight_and_extremes(data, n_splits):
+    """Merging per-split digests conserves weight and exact extremes no
+    matter how the data was partitioned (the resume guarantee)."""
+    merged = TDigest()
+    for part in np.array_split(data, n_splits):
+        if len(part):
+            merged = merged.merge(TDigest.from_values(part))
+    assert merged.n == pytest.approx(len(data))
+    assert merged.quantile(0.0) == pytest.approx(float(data.min()))
+    assert merged.quantile(1.0) == pytest.approx(float(data.max()))
