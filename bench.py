@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "part_material_flow",
     "hll_distinct",
     "quantile_sketch",
 ]
