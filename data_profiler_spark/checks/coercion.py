@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_profiler_spark.functions.dates import parse_date_mixed
 from data_profiler_spark.schemas import REF_DTYPE_DEFAULTS
 
 
@@ -30,7 +31,11 @@ def _coerce_expr(col: str, dtype: str):
     if dtype == "float64":
         return c.cast("string").try_cast("double")
     if dtype == "date":
-        return F.try_to_date(c.cast("string"), "yyyy-MM-dd")  # strict %Y-%m-%d (:91)
+        # Ordered mixed-format try-chain (functions/dates.py) — the reference
+        # parses dates with pd.to_datetime(dayfirst=True, format='mixed')
+        # (transform_service.py:372-374); ISO %Y-%m-%d (data_file_functions
+        # .py:91) is the chain's first format so strict inputs are unchanged.
+        return parse_date_mixed(c)
     if dtype == "time":
         # %H:%M:%S — validate shape, keep as string (Spark has no TimeType)
         s = c.cast("string")

@@ -260,12 +260,28 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_BASELINE_N = 4096
+
+
 def ks_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS per event_type vs the 'view' baseline via
-    applyInPandas (no SQL oracle — vectorized numpy path)."""
+    """Exact two-sample KS per event_type vs a BOUNDED baseline sample via
+    applyInPandas (no SQL oracle — vectorized numpy path).
+
+    The baseline is the ks_exact_by_group contract's "driver-small reservoir
+    sample": a deterministic hash-ordered sample of the 'view' population —
+    ORDER BY md5(event_id) LIMIT N is a distributed top-k (per-partition
+    heaps, then a merge of N·P candidates), so the driver pulls exactly
+    KS_BASELINE_N rows no matter the population size. In production this
+    sample is persisted with the baseline snapshot; here it stands in,
+    seeded by the same determinism (md5 is engine- and run-stable)."""
     ev = T(spark, sf_dir, "events")
     baseline = (
-        ev.filter(F.col("event_type") == "view").select("value").toPandas()
+        ev.filter((F.col("event_type") == "view") & F.col("value").isNotNull())
+        .select("value", F.md5(F.col("event_id").cast("string")).alias("__h"))
+        .orderBy("__h", "value")
+        .limit(KS_BASELINE_N)
+        .select("value")
+        .toPandas()
     )
     out = ks_exact_by_group(ev, "value", ["event_type"], baseline)
     return out.select("event_type", F.round("ks_d", 4).alias("ks_d"), "n")

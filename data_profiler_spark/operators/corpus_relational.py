@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_profiler_spark.functions.dates import WEEKEND_DATE_RULES, adjust_weekend_dates
 from data_profiler_spark.functions.text import scrub
 from data_profiler_spark.functions.windows import distributed_cumsum
 from data_profiler_spark.sources.tpch import load_table
@@ -264,6 +265,111 @@ FROM c
 """
 
 
+# --- VelocityByMonth: per-month ABC re-classification (ref: transform_service.py:669-731)
+
+def velocity_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference VelocityByMonth: rerun the ABC/velocity analysis per month
+    ('%B-%Y' grain), fill SKUs inactive that month with 'X', join back the
+    overall velocity and an EqualsOverall flag
+    (transform_service.py:669-731; thresholds find_velocity :825-836, note
+    `<=` boundaries).
+
+    Scale: the per-month ranking window partitions by month — each frame is
+    bounded by the SKU catalog, not the row count (the month agg has already
+    collapsed 10^12 rows to |SKUs|×|months|). The OVERALL ranking is over
+    all SKUs with no partition key, so it uses distributed_cumsum. The
+    months×SKUs fill grid is |SKUs|×|months| rows — same cardinality as the
+    output, built from a broadcast of the (tiny) month list."""
+    li = T(spark, sf_dir, "lineitem")
+    month = F.date_format(F.col("l_shipdate"), "MMMM-yyyy")
+    per = li.groupBy(month.alias("month"), F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("lines")
+    )
+
+    def classify(cum_prev):
+        return (
+            F.when(cum_prev <= 0.25, "A")
+            .when(cum_prev <= 0.80, "B")
+            .when(cum_prev <= 0.95, "C")
+            .when(cum_prev <= 0.99, "D")
+            .otherwise("E")
+        )
+
+    w = (
+        Window.partitionBy("month")
+        .orderBy(F.desc("lines"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("month")
+    cum_prev_m = (F.sum("lines").over(w) - F.col("lines")) / F.sum("lines").over(w_tot)
+    monthly = per.select("month", "l_partkey", classify(cum_prev_m).alias("velocity"))
+
+    overall_base = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("lines"))
+    cum = distributed_cumsum(
+        overall_base, [F.desc("lines"), F.asc("l_partkey")], ["lines"], include_total=True
+    )
+    cum_prev_o = (F.col("cum_lines") - F.col("lines")) / F.col("total_lines")
+    overall = cum.select("l_partkey", classify(cum_prev_o).alias("velocity_overall"))
+
+    months = per.select("month").distinct()
+    grid = overall_base.select("l_partkey").crossJoin(F.broadcast(months))
+    filled = (
+        grid.join(monthly, ["month", "l_partkey"], "left")
+        .withColumn("velocity", F.coalesce("velocity", F.lit("X")))
+    )
+    return filled.join(overall, "l_partkey").select(
+        F.col("l_partkey").alias("partkey"),
+        "month",
+        "velocity",
+        "velocity_overall",
+        (F.col("velocity") == F.col("velocity_overall")).cast("int").alias("equals_overall"),
+    )
+
+
+VELOCITY_BY_MONTH_SQL = """
+WITH per AS (
+  SELECT strftime(l_shipdate, '%B-%Y') AS month, l_partkey, COUNT(*) AS lines
+  FROM lineitem GROUP BY 1, 2
+), m AS (
+  SELECT month, l_partkey,
+    (SUM(lines) OVER (PARTITION BY month ORDER BY lines DESC, l_partkey ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - lines)
+      / CAST(SUM(lines) OVER (PARTITION BY month) AS DOUBLE) AS cum_prev
+  FROM per
+), mv AS (
+  SELECT month, l_partkey,
+    CASE WHEN cum_prev <= 0.25 THEN 'A' WHEN cum_prev <= 0.80 THEN 'B'
+         WHEN cum_prev <= 0.95 THEN 'C' WHEN cum_prev <= 0.99 THEN 'D'
+         ELSE 'E' END AS velocity
+  FROM m
+), ob AS (
+  SELECT l_partkey, COUNT(*) AS lines FROM lineitem GROUP BY 1
+), oc AS (
+  SELECT l_partkey,
+    (SUM(lines) OVER (ORDER BY lines DESC, l_partkey ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - lines)
+      / CAST(SUM(lines) OVER () AS DOUBLE) AS cum_prev
+  FROM ob
+), ov AS (
+  SELECT l_partkey,
+    CASE WHEN cum_prev <= 0.25 THEN 'A' WHEN cum_prev <= 0.80 THEN 'B'
+         WHEN cum_prev <= 0.95 THEN 'C' WHEN cum_prev <= 0.99 THEN 'D'
+         ELSE 'E' END AS velocity_overall
+  FROM oc
+), grid AS (
+  SELECT s.l_partkey, mo.month FROM (SELECT l_partkey FROM ob) s
+  CROSS JOIN (SELECT DISTINCT month FROM per) mo
+)
+SELECT g.l_partkey AS partkey, g.month,
+       COALESCE(mv.velocity, 'X') AS velocity,
+       ov.velocity_overall,
+       CAST(COALESCE(mv.velocity, 'X') = ov.velocity_overall AS INT) AS equals_overall
+FROM grid g
+LEFT JOIN mv ON mv.month = g.month AND mv.l_partkey = g.l_partkey
+JOIN ov ON ov.l_partkey = g.l_partkey
+"""
+
+
 # --- W2 bucketed running sums / velocity ladder (ref: transform_service.py:778-790)
 
 def velocity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,32 +534,44 @@ FROM orders
 """
 
 
-# --- F10 weekend-date adjust (ref: transform_service.py:869-883) -----------
+# --- F10 weekend-date adjust, ALL 4 rules (ref: transform_service.py:869-883)
 
-def weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule 'nearest weekday': Saturday → Friday, Sunday → Monday."""
+def weekend_rules_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every weekend-date rule applied to every order date, rule as a
+    grouping column — one entry covers the reference's full dispatch
+    (NEAREST_WEEKDAY / ALL_TO_MONDAY / ALL_TO_FRIDAY / AS_IS). The 4-way
+    fan-out is an explode over literal structs: one projection, no shuffle,
+    no UDF (functions/dates.py)."""
     orders = T(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
-    dow = F.dayofweek(d)  # 1=Sunday .. 7=Saturday
-    shifted = (
-        F.when(dow == 7, F.date_sub(d, 1))
-        .when(dow == 1, F.date_add(d, 1))
-        .otherwise(d)
-    )
+    entries = [
+        F.struct(
+            F.lit(rule).alias("rule"),
+            adjust_weekend_dates(d, rule).cast("string").alias("adjusted_date"),
+        )
+        for rule in WEEKEND_DATE_RULES
+    ]
     return orders.select(
         F.col("o_orderkey").alias("orderkey"),
-        dow.cast("int").alias("dow"),
-        shifted.cast("string").alias("adjusted_date"),
-    )
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("orderkey", "dow", F.col("e.rule").alias("rule"), F.col("e.adjusted_date").alias("adjusted_date"))
 
 
-WEEKEND_SHIFT_SQL = """
-SELECT o_orderkey AS orderkey,
-       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
-       CAST(CASE WHEN dayofweek(o_orderdate) = 6 THEN CAST(o_orderdate AS DATE) - 1
-                 WHEN dayofweek(o_orderdate) = 0 THEN CAST(o_orderdate AS DATE) + 1
-                 ELSE CAST(o_orderdate AS DATE) END AS VARCHAR) AS adjusted_date
-FROM orders
+# DuckDB dayofweek: 0=Sunday..6=Saturday (Spark dayofweek is 1..7, hence +1).
+WEEKEND_RULES_SQL = """
+WITH rules(rule) AS (VALUES ('NEAREST_WEEKDAY'), ('ALL_TO_MONDAY'), ('ALL_TO_FRIDAY'), ('AS_IS')),
+o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, dayofweek(o_orderdate) AS dw FROM orders)
+SELECT o_orderkey AS orderkey, CAST(dw + 1 AS INT) AS dow, rule,
+       CAST(CASE
+         WHEN rule = 'NEAREST_WEEKDAY' AND dw = 6 THEN d - 1
+         WHEN rule = 'NEAREST_WEEKDAY' AND dw = 0 THEN d + 1
+         WHEN rule = 'ALL_TO_MONDAY'   AND dw = 6 THEN d + 2
+         WHEN rule = 'ALL_TO_MONDAY'   AND dw = 0 THEN d + 1
+         WHEN rule = 'ALL_TO_FRIDAY'   AND dw = 6 THEN d - 1
+         WHEN rule = 'ALL_TO_FRIDAY'   AND dw = 0 THEN d - 2
+         ELSE d END AS VARCHAR) AS adjusted_date
+FROM o CROSS JOIN rules
 """
 
 
@@ -603,12 +721,53 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- north-star quantile sketch (GK percentile_approx — rows-only check) ----
 
 def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quartiles per group (ref describe() quartiles,
+    data_profiler.py:503-508). Scalar columns, not an array: the harness
+    canonicalizer sorts/hashes row values, so array cells are out of contract
+    (corpus determinism rules, header of this file). Rows-only check —
+    sketch outputs are engine-specific within GK rank-error bounds."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10_000).alias(
-            "price_quantiles"
-        )
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10_000).alias("__q")
     )
+    return q.select(
+        "l_returnflag",
+        F.round(F.col("__q")[0], 2).alias("q25"),
+        F.round(F.col("__q")[1], 2).alias("q50"),
+        F.round(F.col("__q")[2], 2).alias("q75"),
+        F.round(F.col("__q")[3], 2).alias("q99"),
+    )
+
+
+# --- A14 grouped box-plot quartiles (ref: data_profiler.py:503-508 grouped) -
+
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per group — the oracle-checked half of
+    A14 (grouped box-plot stats; engine path: profiling.column_profile with
+    group_cols). `percentile` is Spark's exact interpolated percentile —
+    identical definition to DuckDB's quantile_cont ((n-1)*p linear
+    interpolation) — so values hash-match at 4dp."""
+    ev = T(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_value"),
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("__q"),
+    )
+    return q.select(
+        "event_type",
+        "n_value",
+        F.round(F.col("__q")[0], 4).alias("q25"),
+        F.round(F.col("__q")[1], 4).alias("q50"),
+        F.round(F.col("__q")[2], 4).alias("q75"),
+    )
+
+
+GROUPED_QUANTILES_SQL = """
+SELECT event_type, COUNT(value) AS n_value,
+       ROUND(quantile_cont(value, 0.25), 4) AS q25,
+       ROUND(quantile_cont(value, 0.50), 4) AS q50,
+       ROUND(quantile_cont(value, 0.75), 4) AS q75
+FROM events GROUP BY event_type
+"""
 
 
 # --- JSON extraction over the events props column ---------------------------
@@ -761,19 +920,20 @@ RELATIONAL_QUERIES = {
     "building_orders_semi": (building_orders_by_priority, BUILDING_ORDERS_SQL),
     "first_order_per_customer": (first_order_per_customer, FIRST_ORDER_SQL),
     "pareto_abc_parts": (pareto_abc_parts, PARETO_ABC_SQL),
+    "velocity_by_month": (velocity_by_month, VELOCITY_BY_MONTH_SQL),
     "velocity_ladder": (velocity_ladder, VELOCITY_LADDER_SQL),
     "conditional_counts": (conditional_counts, CONDITIONAL_COUNTS_SQL),
     "histogram_extendedprice": (histogram_extendedprice, HISTOGRAM_SQL),
     "quantity_range_buckets": (quantity_range_buckets, QTY_RANGE_SQL),
     "order_date_features": (order_date_features, ORDER_DATE_FEATURES_SQL),
-    "weekend_shift": (weekend_shift, WEEKEND_SHIFT_SQL),
+    "weekend_rules": (weekend_rules_grid, WEEKEND_RULES_SQL),
     "scrubbed_part_keys": (scrubbed_part_keys, SCRUBBED_KEYS_SQL),
     "monthly_type_counts_filled": (monthly_type_counts_filled, MONTHLY_FILLED_SQL),
     "user_running_value": (user_running_value, USER_RUNNING_SQL),
     "top3_orders_per_segment": (top3_orders_per_segment, TOP3_PER_SEGMENT_SQL),
     "distinct_counts_exact": (distinct_counts, DISTINCT_COUNTS_SQL),
-    "hll_distinct": (hll_distinct, None),
     "quantile_sketch": (quantile_sketch, None),
+    "grouped_quantiles": (grouped_quantiles, GROUPED_QUANTILES_SQL),
     "props_json_extract": (props_json_extract, PROPS_JSON_SQL),
     "monthly_part_flow": (monthly_part_flow, MONTHLY_PART_FLOW_SQL),
     "returnflag_combo_per_order": (returnflag_combo_per_order, RETURNFLAG_COMBO_SQL),

@@ -118,25 +118,32 @@ DEDUP_SIMHASH_SQL = f"WITH {_SIMHASH_CORE} SELECT id, simhash FROM sim"
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.simhash(T(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS)
-    pairs = dedup.simhash_near_pairs(sig, max_hamming=3, bits=SIMHASH_BITS)
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=SIMHASH_MAX_HAMMING, bits=SIMHASH_BITS)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-_HALF_MASK = (1 << (SIMHASH_BITS // 2)) - 1
+SIMHASH_MAX_HAMMING = 3
+
+# Mirror of dedup.simhash_band_chunks: max_hamming+1 pigeonhole bands —
+# every pair at hamming <= max_hamming shares at least one full band.
+_SIMHASH_BAND_VALUES = ", ".join(
+    f"({i}, {s}, {m})"
+    for i, s, m in dedup.simhash_band_chunks(SIMHASH_BITS, SIMHASH_MAX_HAMMING)
+)
 
 SIMHASH_PAIRS_SQL = f"""
 WITH {_SIMHASH_CORE},
-lo AS (SELECT id, simhash, simhash & {_HALF_MASK} AS band FROM sim),
-hi AS (SELECT id, simhash, simhash >> {SIMHASH_BITS // 2} AS band FROM sim),
+bands AS (
+  SELECT id, simhash, b.band_id, (simhash >> b.shift) & b.mask AS band_key
+  FROM sim CROSS JOIN (VALUES {_SIMHASH_BAND_VALUES}) AS b(band_id, shift, mask)
+),
 pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b,
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM lo a JOIN lo b ON a.band = b.band AND a.id < b.id
-  UNION
-  SELECT a.id, b.id, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
-  FROM hi a JOIN hi b ON a.band = b.band AND a.id < b.id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
 )
-SELECT DISTINCT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -343,15 +350,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, PLANES, "vec_id", "embedding", k=ANN_K)
 
 
+def _bucket_sql(vec: str) -> str:
+    """DuckDB mirror of similarity.hyperplane_bucket over PLANES."""
+    terms = []
+    for i, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN {_dot_sql(vec, lit)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def _lsh_topk_sql() -> str:
-    def bucket_expr(vec: str) -> str:
-        terms = []
-        for i, plane in enumerate(PLANES):
-            lit = "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
-            terms.append(
-                f"(CASE WHEN {_dot_sql(vec, lit)} >= 0 THEN {1 << i} ELSE 0 END)"
-            )
-        return "CAST(" + " + ".join(terms) + " AS INT)"
+    bucket_expr = _bucket_sql
 
     return f"""
 WITH cb AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bucket FROM embeddings),
@@ -429,24 +440,24 @@ NEARDUP_THRESHOLD = 0.35  # synthetic embeddings: max pairwise cosine ≈ 0.51
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-BUCKETED near-dup pair join (similarity.py scale path):
+    candidates must share the full sign-pattern bucket, so the pair space is
+    partitioned into equi-join buckets — the plan contains no cartesian /
+    broadcast-nested-loop over corpus×corpus (asserted by
+    tests/test_operators.py::test_embedding_neardup_plan_is_bucketed).
+    The oracle mirrors the identical bucketing; the all-pairs form remains
+    in pytest as the small-fixture recall reference."""
     emb = T(spark, sf_dir, "embeddings")
-    c = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    return similarity.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=NEARDUP_THRESHOLD, planes=PLANES
     )
 
 
 EMBEDDING_NEARDUP_SQL = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH cb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
 """
 

@@ -148,35 +148,64 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     )
 
 
+def simhash_band_chunks(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """Pigeonhole band layout: (band_id, shift, mask) for max_hamming+1
+    contiguous chunks covering ``bits``. A pair at hamming ≤ max_hamming has
+    at most max_hamming differing bits spread over max_hamming+1 chunks, so
+    ≥1 chunk is bit-identical — the equi-join on (band_id, chunk value) is
+    guaranteed to produce every qualifying pair (100% recall), unlike a
+    2-way split which only guarantees hamming ≤ 1."""
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError(f"need bits >= max_hamming+1 chunks ({nb} > {bits})")
+    base, rem = divmod(bits, nb)
+    chunks = []
+    shift = 0
+    for i in range(nb):
+        width = base + (1 if i < rem else 0)
+        chunks.append((i, shift, (1 << width) - 1))
+        shift += width
+    return chunks
+
+
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with hamming(simhash) <= max_hamming.
 
-    Join is banded on the top half of the fingerprint: near pairs that
-    differ only in low bits collide in the band; a second pass banded on the
-    low half catches the rest (classic SimHash table split) — union of the
-    two equi-joins, never a cross join.
-    """
-    half = bits // 2
-    lo = sim.withColumn("band", F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)))
-    hi = sim.withColumn("band", F.shiftright(F.col("simhash"), half))
-    out = None
-    for banded in (lo, hi):
-        a = banded.alias("a")
-        b = banded.alias("b")
-        pairs = (
-            a.join(b, "band")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                ).alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
+    Banded into max_hamming+1 chunks (``simhash_band_chunks``): pigeonhole
+    guarantees every qualifying pair collides in at least one band, so the
+    candidate join is a single equi-join on (band_id, band_key) — all bands
+    ride ONE explode and ONE shuffle, never a cross join. Candidates are
+    verified by exact popcount on the full fingerprint, then de-duplicated
+    (a pair can agree on several bands)."""
+    chunks = simhash_band_chunks(bits, max_hamming)
+    entries = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit(m)).alias("band_key"),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+        for i, s, m in chunks
+    ]
+    banded = sim.select(
+        "id", "simhash", F.explode(F.array(*entries)).alias("b")
+    ).select(
+        "id",
+        "simhash",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

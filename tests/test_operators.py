@@ -217,3 +217,62 @@ def test_payload_fingerprint_dedup(spark):
     got = {r["media_id"]: r["sha256"] for r in multimodal.payload_fingerprint(media).collect()}
     assert got["a"] == got["b"] == hashlib.sha256(p1).hexdigest()
     assert got["c"] == hashlib.sha256(p2).hexdigest()
+
+
+# --- round-2 verdict fixes --------------------------------------------------
+
+
+def test_simhash_near_pairs_pigeonhole_recall(spark):
+    """A hamming-2 pair whose differing bits straddle the two 8-bit halves
+    (bits 7 and 8) collides in NEITHER half — the old 2-band split silently
+    dropped it. Pigeonhole banding (max_hamming+1 = 4 bands of 4 bits)
+    guarantees >=1 clean band, so the pair must be found."""
+    sim = spark.createDataFrame(
+        [(1, 0), (2, (1 << 7) | (1 << 8)), (3, 0xFFFF)], "id long, simhash long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sim, max_hamming=3, bits=16).collect()
+    }
+    assert pairs == {(1, 2): 2}  # found, exact distance; (x,3) too far
+
+
+def test_simhash_band_chunks_cover_all_bits():
+    for bits, mh in [(16, 3), (16, 2), (64, 3), (10, 4)]:
+        chunks = dedup.simhash_band_chunks(bits, mh)
+        assert len(chunks) == mh + 1
+        covered = 0
+        for _, shift, mask in chunks:
+            covered |= mask << shift
+        assert covered == (1 << bits) - 1
+
+
+def test_embedding_neardup_bucketed_is_subset_of_allpairs(embeddings):
+    """The hyperplane-bucketed pair join returns a subset of the all-pairs
+    truth with identical cosines (all-pairs stays the small-fixture oracle;
+    the bucketed join is the 100TB path)."""
+    df, _ = embeddings
+    planes = [[float(((7 * p + 13 * j) % 11) - 5) for j in range(8)] for p in range(2)]
+    allp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs(df, threshold=0.5).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs(df, threshold=0.5, planes=planes).collect()
+    }
+    assert set(bucketed) <= set(allp)
+    for k, v in bucketed.items():
+        assert v == allp[k]
+    # near-identical vectors agree on every sign bit -> always recalled
+    assert (0, 5) in bucketed
+
+
+def test_embedding_neardup_plan_is_bucketed(spark):
+    """The corpus embedding_neardup entry must contain no cartesian /
+    broadcast-nested-loop over the corpus x corpus pair space (VERDICT r1)."""
+    from data_profiler_spark.operators.corpus_text import embedding_neardup
+
+    plan = embedding_neardup(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
