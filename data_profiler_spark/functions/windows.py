@@ -9,21 +9,27 @@ parallel prefix sum expressed purely in the DataFrame API.
            partition holds a contiguous, ordered slice of the key space;
            compute the running total WITHIN each partition via a window
            partitioned by `spark_partition_id()` (P parallel tasks).
-  phase 2  per-partition grand totals form a P-row frame; an exclusive
-           prefix over those P rows (trivial single-task window over P
-           rows, P = O(cluster size)) yields each partition's offset,
-           broadcast-joined back and added to the local running totals.
+  phase 2  per-partition grand totals form a P-row frame (P = O(cluster
+           size)); it is COLLECTED eagerly and the exclusive prefix runs
+           driver-side over those P rows — metadata-scale work that costs
+           one tiny job and removes any single-task window from the plan —
+           then rejoined as a literal broadcast frame.
 
-The range-partitioned frame is persisted (MEMORY_AND_DISK) before fanning
-out to the two phases. This is load-bearing for correctness, not a cache
-nicety: column pruning gives the two consumers *different* pruned schemas,
-so Catalyst materializes two separate range exchanges rather than a
-ReusedExchange — and each RangePartitioner samples its child independently.
-Hash-aggregate output order is not deterministic across executions (shuffle
-fetch order), so two samplings could pick different boundaries and misalign
-the partition ids between the local-cumsum side and the offsets side.
-Persisting pins both consumers to one materialized partitioning (one
+The range-partitioned frame is persisted (MEMORY_AND_DISK) before the two
+consumers read it. This is load-bearing for correctness, not a cache
+nicety: the offsets job and the later output job are separate executions,
+and each would otherwise plan its own range exchange whose RangePartitioner
+samples its child independently. Hash-aggregate output order is not
+deterministic across executions (shuffle fetch order), so two samplings
+could pick different boundaries and misalign the partition ids between the
+local-cumsum side and the offsets side. The eager phase-2 collect populates
+the cache at call time, pinning both to one materialized partitioning (one
 partitioner, one boundary array). No rand() anywhere → resume-stable.
+
+The persisted handle is registered module-wide; callers that materialize
+the output should call :func:`release_cumsum_caches` afterwards (bench.py
+does, per headline query) — otherwise the cached frames (one small
+aggregate per call) live until session end.
 
 Reference analog: the hand-rolled sort+cumsum Pareto/velocity analysis in
 apex-companies/data-profiler `services/transform_service.py:843-850` — which
@@ -37,6 +43,32 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 _PID = "__dps_pid"
+
+# Persisted range-partitioned frames whose outputs the caller has not yet
+# released. Bounded by calls-per-session; each entry is a small aggregate
+# frame, but long-lived sessions (bench, the oracle harness) should release.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def release_cumsum_caches() -> None:
+    """Unpersist every frame persisted by prior :func:`distributed_cumsum`
+    calls. Call only AFTER materializing their outputs — the persisted
+    partitioning is what keeps partition ids consistent between the offsets
+    (already collected) and a recompute of the local-cumsum side."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist(blocking=False)
+
+
+def _zero_for(dt):
+    import decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    if isinstance(dt, DecimalType):
+        return decimal.Decimal(0)
+    if isinstance(dt, (DoubleType, FloatType)):
+        return 0.0
+    return 0
 
 
 def distributed_cumsum(
@@ -52,13 +84,43 @@ def distributed_cumsum(
     `order_by` must be a TOTAL order (include a unique tie-breaker column):
     with ties straddling a range boundary the running total at the tied rows
     would otherwise depend on which side of the boundary they landed.
+
+    Eager in phase 2: collects the P per-partition totals at call time (one
+    small job that also populates the persisted cache) and computes the
+    exclusive prefix driver-side — no global single-task window anywhere in
+    the returned plan.
     """
+    from pyspark.sql.types import StructField, StructType
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.repartitionByRange(n, *order_by)
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _ACTIVE_CACHES.append(parted)
+
+    totals = parted.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"__tot_{v}") for v in values]
+    )
+    tot_schema = {f.name: f.dataType for f in totals.schema.fields}
+    rows = sorted(totals.collect(), key=lambda r: r[_PID])
+    acc = {v: _zero_for(tot_schema[f"__tot_{v}"]) for v in values}
+    off_rows = []
+    for r in rows:
+        off_rows.append([int(r[_PID])] + [acc[v] for v in values])
+        for v in values:
+            t = r[f"__tot_{v}"]
+            if t is not None:
+                acc[v] = acc[v] + t
+    if include_total:
+        off_rows = [row + [acc[v] for v in values] for row in off_rows]
+
+    fields = [StructField(_PID, next(f.dataType for f in totals.schema.fields if f.name == _PID), False)]
+    fields += [StructField(f"__off_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
+    if include_total:
+        fields += [StructField(f"total_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
+    offsets = df.sparkSession.createDataFrame(off_rows, StructType(fields))
 
     w_local = (
         Window.partitionBy(_PID)
@@ -68,23 +130,6 @@ def distributed_cumsum(
     local = parted.select(
         "*", *[F.sum(v).over(w_local).alias(f"__local_{v}") for v in values]
     )
-
-    totals = parted.groupBy(_PID).agg(
-        *[F.sum(v).alias(f"__tot_{v}") for v in values]
-    )
-    # exclusive prefix over the P-row totals frame: single task over O(P)
-    # rows by construction — this is the one place a global window is safe.
-    w_prefix = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    off_cols = [
-        F.coalesce(F.sum(f"__tot_{v}").over(w_prefix), F.lit(0)).alias(f"__off_{v}")
-        for v in values
-    ]
-    if include_total:
-        w_all = Window.partitionBy()  # still the P-row frame
-        off_cols += [
-            F.sum(f"__tot_{v}").over(w_all).alias(f"total_{v}") for v in values
-        ]
-    offsets = totals.select(_PID, *off_cols)
 
     out_cols = [F.col(c) for c in df.columns] + [
         (F.col(f"__local_{v}") + F.col(f"__off_{v}")).alias(f"cum_{v}")

@@ -29,15 +29,21 @@ MANIFEST_TABLE = "manifest"
 
 
 class Manifest:
-    def __init__(self, io: TableIO, spark: SparkSession):
+    def __init__(self, io: TableIO, spark: SparkSession, table: str = MANIFEST_TABLE):
+        """``table`` namespaces the lineage: batch runs use the default
+        'manifest'; the streaming path writes 'manifest_stream' so a later
+        batch run's completed_partitions() never skips logical partitions
+        that a micro-batch only ever validated for a subset of rows
+        (streaming/stream_validate.py)."""
         self.io = io
         self.spark = spark
+        self.table = table
 
     def completed_partitions(self) -> set[int]:
-        if not self.io.exists(self.spark, MANIFEST_TABLE):
+        if not self.io.exists(self.spark, self.table):
             return set()
         rows = (
-            self.io.read(self.spark, MANIFEST_TABLE)
+            self.io.read(self.spark, self.table)
             .filter("status = 'done'")
             .select("partition_id")
             .distinct()
@@ -46,16 +52,35 @@ class Manifest:
         return {r[0] for r in rows}
 
     def completed_snapshot_ids(self) -> set[str]:
-        if not self.io.exists(self.spark, MANIFEST_TABLE):
+        if not self.io.exists(self.spark, self.table):
             return set()
         rows = (
-            self.io.read(self.spark, MANIFEST_TABLE)
+            self.io.read(self.spark, self.table)
             .filter("status = 'done'")
             .select("snapshot_id")
             .distinct()
             .collect()
         )
         return {r[0] for r in rows}
+
+    def completed_batch_ids(self) -> set[int]:
+        """Stream idempotence: batch ids recorded in metrics_json by
+        validate_stream — a micro-batch replayed after a crash that already
+        committed its manifest rows is skipped instead of re-appended."""
+        if not self.io.exists(self.spark, self.table):
+            return set()
+        rows = (
+            self.io.read(self.spark, self.table)
+            .filter("status = 'done'")
+            .select("metrics_json")
+            .collect()
+        )
+        out: set[int] = set()
+        for r in rows:
+            b = json.loads(r[0] or "{}").get("stream_batch_id")
+            if b is not None:
+                out.add(int(b))
+        return out
 
     def commit(
         self,

@@ -84,6 +84,7 @@ class ValidationRun:
         psi_threshold: float = 0.25,
         ks_threshold: float = 0.2,
         salt_mode: str = "stats",
+        manifest_table: str = "manifest",
     ):
         """``salt_mode`` picks WHERE the anti-skew salt shuffle happens:
 
@@ -109,16 +110,32 @@ class ValidationRun:
         if salt_mode not in ("stats", "bytes", "none"):
             raise ValueError(f"salt_mode must be stats|bytes|none, got {salt_mode!r}")
         self.salt_mode = salt_mode
-        self.manifest = Manifest(io, spark)
+        self.manifest = Manifest(io, spark, table=manifest_table)
+
+    # -- committed reads -----------------------------------------------------
+    def read_committed(self, table: str) -> DataFrame:
+        """Read an output table filtered to manifest-committed snapshot ids.
+
+        Output rows are appended BEFORE the manifest commit (crash-safe
+        ordering), so a killed run — or a replayed streaming micro-batch —
+        leaves orphan rows carrying a snapshot id the manifest never
+        recorded. Every read of verdicts/violations/profile/sketches/drift
+        must go through this filter; the committed-id set is one id per
+        completed run (bounded), so the isin folds to an IN-list pushed to
+        the scan."""
+        snaps = sorted(self.manifest.completed_snapshot_ids())
+        return self.io.read(self.spark, table).filter(F.col("snapshot_id").isin(snaps))
 
     # -- cross-run quantiles from persisted sketches -------------------------
     def global_quantiles(self, column: str, qs: list[float]) -> dict[float, float]:
         """Table-level quantiles of ``column`` across ALL partitions in the
         sketches table — including partitions profiled by earlier (resumed)
         runs. Pure driver-side sketch merge; nothing is re-read or re-decoded.
-        """
+        Reads through the committed-snapshot filter (module contract): a run
+        that crashed after job_sketches appended but before the manifest
+        commit must not double-weight its orphan partitions."""
         rows = (
-            self.io.read(self.spark, "sketches")
+            self.read_committed("sketches")
             .filter(F.col("column") == column)
             .collect()
         )
@@ -138,6 +155,7 @@ class ValidationRun:
         transcripts: DataFrame | None = None,
         limit_partitions: int | None = None,
         filter_pending: bool = True,
+        extra_metrics: dict | None = None,
     ) -> RunResult:
         """Validate all partitions not yet in the manifest.
 
@@ -392,7 +410,10 @@ class ValidationRun:
             {
                 "partition_id": p,
                 "rows": per_part.get(p, 0),
-                "metrics": {"violations": int(viol_per_part.get(p, 0))},
+                "metrics": {
+                    "violations": int(viol_per_part.get(p, 0)),
+                    **(extra_metrics or {}),
+                },
             }
             for p in pending
         ]

@@ -16,10 +16,25 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
+
+# One lock per ledger path, process-wide: ValidationRun's parallel tail
+# appends to two tables concurrently from driver threads, and several
+# ParquetTableIO instances may point at the same root. Snapshot lineage is
+# the engine's crash-safety mechanism, so the ledger read-modify-write must
+# be serialized and the file replaced atomically (tmp + os.replace), never
+# truncated in place.
+_LEDGER_LOCKS: dict[str, threading.Lock] = {}
+_LEDGER_LOCKS_GUARD = threading.Lock()
+
+
+def _ledger_lock(path: str) -> threading.Lock:
+    with _LEDGER_LOCKS_GUARD:
+        return _LEDGER_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
 
 
 class TableIO(ABC):
@@ -64,13 +79,18 @@ class ParquetTableIO(TableIO):
 
     def _record(self, table: str, mode: str) -> str:
         snap = uuid.uuid4().hex[:16]
-        entries = []
-        if os.path.exists(self._ledger):
-            with open(self._ledger) as f:
-                entries = json.load(f)
-        entries.append({"table": table, "snapshot_id": snap, "mode": mode})
-        with open(self._ledger, "w") as f:
-            json.dump(entries, f, indent=1)
+        with _ledger_lock(self._ledger):
+            entries = []
+            if os.path.exists(self._ledger):
+                with open(self._ledger) as f:
+                    entries = json.load(f)
+            entries.append({"table": table, "snapshot_id": snap, "mode": mode})
+            tmp = f"{self._ledger}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(entries, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._ledger)
         return snap
 
     def snapshots(self, table: str) -> list[dict]:

@@ -15,12 +15,25 @@ Design choices, all deliberate:
   pipeline per micro-batch" case foreachBatch exists for. Everything the
   batch engine guarantees (shared decode pass, salted stats frame,
   parallel tail, manifest lineage) applies per batch unchanged.
-- **Exactly-once on files** comes from the stream checkpoint (file-source
-  offsets): a restarted stream re-processes only unfinished batches. The
-  engine's own manifest still records per-partition lineage/metrics per
-  batch, but is NOT used as a skip filter here (``filter_pending=False``):
-  micro-batches contain only new files, and new rows legitimately hash
-  into logical partitions that earlier batches already marked done.
+- **Effectively-once, in three layers** (foreachBatch itself is
+  at-least-once — the checkpoint commits AFTER the batch function):
+  (1) the stream checkpoint replays only unfinished batches on restart;
+  (2) a replayed batch whose manifest rows already committed is SKIPPED by
+  the ``stream_batch_id`` recorded in manifest metrics (the standard
+  idempotent-foreachBatch recipe; on Iceberg the same guard is an
+  overwrite-by-batch-id predicate);
+  (3) a batch killed between its output appends and its manifest commit
+  leaves orphan rows that committed reads filter out
+  (``ValidationRun.read_committed``) — the replay re-appends under a new
+  snapshot id and only that one is ever committed.
+- **Separate manifest namespace** (``manifest_stream``): micro-batches
+  validate only the batch's files, so their per-partition "done" rows mean
+  "done for this batch", not "this logical partition is fully validated".
+  Keeping them out of the batch manifest means a later batch-mode run with
+  ``filter_pending=True`` against the same TableIO root still validates
+  everything the stream never saw. Within the stream itself the manifest is
+  likewise not a skip filter (``filter_pending=False``): new rows
+  legitimately hash into logical partitions earlier batches recorded.
 - **Clip-side checks only**: referential integrity against a transcripts
   table is a stream-static anti-join whose "transcript has no clip"
   direction is undefined within one micro-batch (the clip may simply not
@@ -84,9 +97,18 @@ def validate_stream(
         if batch_df.isEmpty():
             return
         run = ValidationRun(
-            spark, io, n_partitions=n_partitions, salt_mode=salt_mode
+            spark, io, n_partitions=n_partitions, salt_mode=salt_mode,
+            manifest_table="manifest_stream",
         )
-        out.batches.append(run.run(batch_df, filter_pending=False))
+        if batch_id in run.manifest.completed_batch_ids():
+            return  # replayed batch already fully committed — idempotent skip
+        out.batches.append(
+            run.run(
+                batch_df,
+                filter_pending=False,
+                extra_metrics={"stream_batch_id": int(batch_id)},
+            )
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)
