@@ -68,6 +68,13 @@ def main() -> int:
         "bandwidth that scales with cluster size (see tools/scaling_bench)",
     )
     ap.add_argument(
+        "--html-report",
+        default=None,
+        metavar="PATH",
+        help="write a self-contained HTML report (verdicts, profile, "
+        "violation sample, drift) after the run — sinks/report.py",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run a small throwaway validation first so the timed run measures "
@@ -179,6 +186,21 @@ def main() -> int:
         return 0 if best.all_passed or args.corrupt else 1
 
     res = run.run(clips, transcripts=transcripts, limit_partitions=args.limit_partitions)
+
+    if args.html_report:
+        from data_profiler_spark.sinks import render_html_report
+
+        render_html_report(
+            [
+                ("verdicts (this run)", res.verdicts),
+                ("per-partition profile", res.profile),
+                ("violations sample", res.violations.limit(100)),
+            ]
+            + ([("drift vs baseline", res.drift)] if res.drift is not None else []),
+            args.html_report,
+            title="clips validation report",
+            subtitle=f"snapshot {res.snapshot_id}, {res.rows} rows",
+        )
 
     print(summarize(res), file=sys.stderr)
     print(
