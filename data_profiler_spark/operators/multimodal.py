@@ -147,18 +147,44 @@ def media_decode_stats(media: DataFrame, passthrough: list[str] | None = None) -
     return media.select(*cols).mapInPandas(op, schema=out_schema)
 
 
-def resize_stub(
-    media: DataFrame, target_h: int, target_w: int
-) -> DataFrame:
-    """Resize operator plumbing: output schema + batch shape are real; the
-    pixel resample itself needs a codec/imaging library → per-row
-    NotImplementedError is captured as resize_err (the engine's standard
-    violation-row contract) rather than failing the job."""
+# encoder: (h, w, c) uint8 array, fmt -> payload bytes (inverse of Decoder)
+Encoder = Callable[[np.ndarray, str], bytes]
+
+_ENCODERS: dict[str, Encoder] = {}
+
+
+def register_encoder(fmt: str, encoder: Encoder) -> None:
+    _ENCODERS[fmt] = encoder
+
+
+register_encoder("fake_rgb", lambda px, fmt: encode_fake_rgb(px))
+
+
+def nn_resize(px: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Nearest-neighbor resample, pure numpy (pixel-center sampling — the
+    same grid PIL's NEAREST uses). Codec-free: works on whatever array the
+    registered decoder produced."""
+    h, w = px.shape[0], px.shape[1]
+    ys = np.clip((np.arange(target_h) + 0.5) * h / target_h, 0, h - 1).astype(np.int64)
+    xs = np.clip((np.arange(target_w) + 0.5) * w / target_w, 0, w - 1).astype(np.int64)
+    return px[ys][:, xs]
+
+
+def resize_media(media: DataFrame, target_h: int, target_w: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, per Arrow batch.
+
+    The resample itself is real (``nn_resize``); only the pixel CODEC is
+    behind the registries — a format with no registered decoder/encoder
+    yields a resize_err row (the engine's violation-row contract) instead of
+    failing the job, and a production deployment registers PIL/ffmpeg-backed
+    functions with the same signatures and nothing else changes."""
 
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), True),
             T.StructField("resized", T.BinaryType(), True),
+            T.StructField("out_height", T.IntegerType(), True),
+            T.StructField("out_width", T.IntegerType(), True),
             T.StructField("resize_err", T.StringType(), True),
         ]
     )
@@ -167,19 +193,34 @@ def resize_stub(
         for pdf in batches:
             if not len(pdf):
                 continue
-            err = (
-                f"resize to {target_h}x{target_w} requires an imaging library "
-                "(not available in this environment)"
-            )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "resized": [None] * len(pdf),
-                    "resize_err": [err] * len(pdf),
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for payload, fmt, mid in zip(pdf["payload"], pdf["fmt"], pdf["media_id"]):
+                row: dict = {
+                    "media_id": mid,
+                    "resized": None,
+                    "out_height": None,
+                    "out_width": None,
+                    "resize_err": None,
                 }
-            )
+                try:
+                    dec = _DECODERS.get(fmt, unregistered_decoder)
+                    enc = _ENCODERS.get(fmt)
+                    if enc is None:
+                        raise NotImplementedError(
+                            f"no encoder registered for format {fmt!r}; "
+                            "register via multimodal.register_encoder(fmt, fn)"
+                        )
+                    px = nn_resize(dec(payload, fmt), target_h, target_w)
+                    row["resized"] = enc(px, fmt)
+                    row["out_height"] = int(px.shape[0])
+                    row["out_width"] = int(px.shape[1])
+                except (ValueError, NotImplementedError) as e:
+                    row["resize_err"] = str(e)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return media.select("media_id", "payload").mapInPandas(op, schema=out_schema)
+    return media.select("media_id", "payload", "fmt").mapInPandas(op, schema=out_schema)
 
 
 def payload_fingerprint(media: DataFrame, id_col: str = "media_id") -> DataFrame:

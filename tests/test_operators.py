@@ -276,3 +276,24 @@ def test_embedding_neardup_plan_is_bucketed(spark):
     plan = embedding_neardup(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    """resize_media: real numpy NN resample behind the codec registries —
+    output pixels must equal the numpy ground truth, unregistered formats
+    yield error rows instead of failing the job."""
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    rows = [
+        ("ok", bytearray(multimodal.encode_fake_rgb(px)), "fake_rgb", 6, 4),
+        ("bad", bytearray(multimodal.encode_fake_rgb(px)), "jpeg", 6, 4),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.resize_media(media, 2, 3).collect()}
+    assert got["ok"]["resize_err"] is None
+    assert (got["ok"]["out_height"], got["ok"]["out_width"]) == (2, 3)
+    expect = multimodal.nn_resize(px, 2, 3)
+    decoded = multimodal.fake_rgb_decoder(bytes(got["ok"]["resized"]), "fake_rgb")
+    assert np.array_equal(decoded, expect)
+    # numpy truth for pixel-center NN on 4x6 -> 2x3: rows [1,3], cols [1,3,5]
+    assert np.array_equal(expect, px[[1, 3]][:, [1, 3, 5]])
+    assert "register" in got["bad"]["resize_err"]  # no codec for 'jpeg'
