@@ -229,11 +229,12 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         include_total=True,
     )
     cum_prev = (F.col("cum_lines") - F.col("lines")) / F.col("total_lines")
+    # <= boundaries exactly as find_velocity (transform_service.py:825-836)
     cls = (
-        F.when(cum_prev < 0.25, "A")
-        .when(cum_prev < 0.80, "B")
-        .when(cum_prev < 0.95, "C")
-        .when(cum_prev < 0.99, "D")
+        F.when(cum_prev <= 0.25, "A")
+        .when(cum_prev <= 0.80, "B")
+        .when(cum_prev <= 0.95, "C")
+        .when(cum_prev <= 0.99, "D")
         .otherwise("E")
     )
     return cum.select(
@@ -258,8 +259,8 @@ WITH per_part AS (
 )
 SELECT partkey, CAST(lines AS BIGINT) AS lines, CAST(units_dec AS DOUBLE) AS units,
        ROUND(cum_prev, 6) AS cum_prev_share,
-       CASE WHEN cum_prev < 0.25 THEN 'A' WHEN cum_prev < 0.80 THEN 'B'
-            WHEN cum_prev < 0.95 THEN 'C' WHEN cum_prev < 0.99 THEN 'D'
+       CASE WHEN cum_prev <= 0.25 THEN 'A' WHEN cum_prev <= 0.80 THEN 'B'
+            WHEN cum_prev <= 0.95 THEN 'C' WHEN cum_prev <= 0.99 THEN 'D'
             ELSE 'E' END AS velocity
 FROM c
 """

@@ -22,6 +22,7 @@ import json
 
 from pyspark.sql import SparkSession
 
+from data_profiler_spark.functions.frames import local_frame
 from data_profiler_spark.schemas import MANIFEST_SCHEMA
 from data_profiler_spark.sources.tableio import TableIO
 
@@ -101,5 +102,5 @@ class Manifest:
             )
             for p in partition_stats
         ]
-        df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        df = local_frame(self.spark, rows, MANIFEST_SCHEMA)
         self.io.append(df, MANIFEST_TABLE)

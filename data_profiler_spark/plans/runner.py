@@ -45,6 +45,7 @@ from data_profiler_spark.checks import (
 )
 from data_profiler_spark.checks.constraints import row_level_violations
 from data_profiler_spark.drift import drift_from_hist_rows
+from data_profiler_spark.functions.frames import local_frame
 from data_profiler_spark.plans.manifest import Manifest
 from data_profiler_spark.profiling import column_profile_collected, histogram
 from data_profiler_spark.profiling.tdigest import merge_sketch_rows, sketch_by_group
@@ -377,20 +378,23 @@ class ValidationRun:
             for c in check_names
             for t in totals_rows
         ]
-        verdict_df = self.spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+        # local_frame (Arrow path): a plain createDataFrame of Python rows
+        # is RDD-backed and re-enters Python workers on every write (~4s per
+        # tiny metadata write measured on this sandbox).
+        verdict_df = local_frame(self.spark, verdict_rows, VERDICT_SCHEMA)
         self.io.append(verdict_df.coalesce(1).select(tag, "*"), "verdicts")
         mark("verdict write")
 
-        profile = self.spark.createDataFrame(
-            prof_rows, "partition_id int, column string, metric string, value double"
+        profile = local_frame(
+            self.spark, prof_rows, "partition_id int, column string, metric string, value double"
         )
         self.io.append(profile.coalesce(1).select(tag, "*"), "profile")
         mark("profile write")
 
         drift = None
         if drift_rows is not None:
-            drift = self.spark.createDataFrame(
-                drift_rows,
+            drift = local_frame(
+                self.spark, drift_rows,
                 "column string, psi double, ks_d double, psi_passed boolean, ks_passed boolean",
             )
             self.io.append(drift.coalesce(1).select(tag, "*"), "drift")
