@@ -103,4 +103,4 @@ class Manifest:
             for p in partition_stats
         ]
         df = local_frame(self.spark, rows, MANIFEST_SCHEMA)
-        self.io.append(df, MANIFEST_TABLE)
+        self.io.append(df, self.table)

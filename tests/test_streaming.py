@@ -123,3 +123,34 @@ def test_stateful_sessionize_across_batches(spark, dirs):
     s2 = sessionize_stream(spark, in_dir, cp, gap_s=1800)
     assert s2["u1"] == (2, 4)  # continued + one new session
     assert s2["u2"] == (2, 2)  # gap exceeded → second session
+
+
+def test_stream_manifest_namespace_and_batch_idempotence(spark, tmp_io, dirs):
+    """Round-2 hardening: (a) stream lineage lives in manifest_stream, so a
+    later BATCH run with filter_pending=True still validates everything;
+    (b) a replayed micro-batch whose manifest rows already committed is
+    skipped via the recorded stream_batch_id."""
+    from data_profiler_spark.plans.manifest import Manifest
+    from data_profiler_spark.plans.runner import ValidationRun
+
+    in_dir, cp = dirs
+    _land(spark, N1).write.mode("append").parquet(in_dir)
+    run = validate_stream(spark, tmp_io, in_dir, cp, n_partitions=PARTS)
+    assert run.rows == N1
+
+    # (a) namespace separation: batch manifest sees nothing as done
+    batch_man = Manifest(tmp_io, spark)  # default 'manifest' table
+    stream_man = Manifest(tmp_io, spark, table="manifest_stream")
+    assert batch_man.completed_partitions() == set()
+    assert len(stream_man.completed_partitions()) > 0
+
+    # (b) idempotent replay: batch id 0 was committed by the stream run
+    assert 0 in stream_man.completed_batch_ids()
+    vr = ValidationRun(spark, tmp_io, n_partitions=PARTS, manifest_table="manifest_stream")
+    assert 0 in vr.manifest.completed_batch_ids()  # the skip guard's input
+
+    # a batch-mode run over the SAME table root validates all rows (no skip
+    # from stream lineage)
+    clips = spark.read.parquet(in_dir)
+    res = ValidationRun(spark, tmp_io, n_partitions=PARTS).run(clips)
+    assert res.rows == N1
