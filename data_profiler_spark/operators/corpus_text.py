@@ -65,7 +65,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_core_ctes() -> str:
+    """Shared CTE chain: shingles -> signatures -> bands -> candidate pairs."""
     mins = ", ".join(
         f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(MINHASH_HASHES)
     )
@@ -79,14 +80,55 @@ def _minhash_lsh_sql() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH tk_t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
+    return f"""tk_t AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
 sh AS (SELECT id, unnest(list_distinct({_shingles_sql(MINHASH_K)})) AS shingle FROM tk_t),
 sig AS (SELECT id, {mins} FROM sh GROUP BY id),
-bands AS ({bands})
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-WHERE a.id < b.id
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.id < b.id
+)"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+WITH {_minhash_core_ctes()}
+SELECT id_a, id_b FROM cand
+"""
+
+
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition the dedup module documents: LSH candidates
+    -> exact Jaccard verification restricted to candidates (never
+    corpus-quadratic). Same LSH params as dedup_minhash_lsh, same k and
+    threshold as dedup_ngram_jaccard, so the three entries triangulate."""
+    return dedup.lsh_verified_near_dups(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_BAND_ROWS,
+        shingle_k=MINHASH_K,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _lsh_verified_sql() -> str:
+    return f"""
+WITH {_minhash_core_ctes()},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT s.id_a, s.id_b,
+       ROUND(s.shared / CAST(na.n + nb.n - s.shared AS DOUBLE), 6) AS jaccard
+FROM shared s JOIN sizes na ON na.id = s.id_a JOIN sizes nb ON nb.id = s.id_b
+WHERE ROUND(s.shared / CAST(na.n + nb.n - s.shared AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -468,6 +510,7 @@ TEXT_QUERIES = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_lsh_verified": (dedup_lsh_verified, _lsh_verified_sql()),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, _lang_id_sql()),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),

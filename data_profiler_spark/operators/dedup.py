@@ -247,3 +247,53 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_verified_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production dedup composition: MinHash-LSH candidate generation
+    prunes the pair space (bucketed equi-join, one shuffle for all bands),
+    then exact n-gram Jaccard verifies ONLY those candidates — the
+    shingle-join fan-out is bounded by |candidates| x shingles-per-doc, never
+    corpus-quadratic (the scale contract ``ngram_jaccard_pairs``' docstring
+    promises; this function IS that promised pipeline).
+
+    (id_a < id_b, jaccard rounded 6dp) for candidate pairs at or above
+    ``threshold``.
+    """
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes=num_hashes,
+        rows_per_band=rows_per_band, shingle_k=shingle_k,
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

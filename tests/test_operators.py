@@ -297,3 +297,25 @@ def test_resize_media_nearest_neighbor_exact(spark):
     # numpy truth for pixel-center NN on 4x6 -> 2x3: rows [1,3], cols [1,3,5]
     assert np.array_equal(expect, px[[1, 3]][:, [1, 3, 5]])
     assert "register" in got["bad"]["resize_err"]  # no codec for 'jpeg'
+
+
+def test_lsh_verified_equals_candidates_intersect_truth(docs):
+    """The LSH->Jaccard composition must equal: (all-pairs exact Jaccard at
+    the threshold) restricted to LSH candidates — verification only ever
+    REMOVES candidate pairs, and keeps exact scores."""
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=2, threshold=0.3).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text", shingle_k=2).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_near_dups(docs, "doc_id", "text", shingle_k=2, threshold=0.3).collect()
+    }
+    assert set(got) == set(truth) & cands
+    for k, v in got.items():
+        assert v == truth[k]
+    assert (0, 3) in got  # exact dups always survive both stages
