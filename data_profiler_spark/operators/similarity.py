@@ -149,32 +149,11 @@ def embedding_neardup_pairs(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
-    k: int = 10,
-    nprobe: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the scale path alongside LSH.
-
-    Coarse quantizer: per-``label_col`` centroids (``centroids()``; the
-    provided labels seed the codebook — a production build iterates Lloyd
-    steps, each of which is exactly this assignment + centroid recompute).
-    Every corpus vector is ASSIGNED to its nearest centroid (the inverted
-    list); each query probes its ``nprobe`` nearest lists and scores only
-    those lists' members. The centroid table is O(#lists) → broadcast both
-    times; the candidate join is an equi-join on list id, so at 100 TB the
-    corpus partitions by list and a query touches nprobe/#lists of the data.
-
-    Ordering ties are broken on (round(sim, 6) desc, label asc) so an
-    external oracle folding dot products in the same index order assigns
-    identically (functions/vectors.py determinism note).
-    """
-    cents = (
-        centroids(corpus, label_col, vec_col)
+def _centroid_vectors(frame: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """(label, __centvec): per-label mean vector in array form — the long
+    format of ``centroids()`` re-assembled by position."""
+    return (
+        centroids(frame, label_col, vec_col)
         .groupBy("label")
         .agg(
             F.transform(
@@ -184,21 +163,93 @@ def ivf_topk(
         )
     )
 
+
+def _nearest_centroid(
+    side: DataFrame, cents: DataFrame, id_alias: str, vec_alias: str, top_n: int
+) -> DataFrame:
+    """Assign each vector its top_n nearest centroids by cosine; ties broken
+    (round(sim,6) desc, label asc) so external oracles assign identically."""
+    scored = side.crossJoin(F.broadcast(cents)).select(
+        id_alias,
+        vec_alias,
+        "label",
+        F.round(cosine_similarity(F.col(vec_alias), F.col("__centvec")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.asc("label"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_n)
+        .select(id_alias, vec_alias, F.col("label").alias("list_id"))
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd iterations for the IVF coarse quantizer, pure DataFrame ops.
+
+    Init: per-``label_col`` centroids (any deterministic seeding column —
+    a hash bucket works). Each iteration is exactly one shuffle (the
+    (label, pos) centroid mean, map-side combinable) plus one broadcast
+    assignment pass; the centroid table is O(#lists) and never leaves
+    broadcast size. Returns (assignments (vec_id, list_id), centroid
+    vectors (label, __centvec)). At 10^12 rows a production build trains on
+    a sample, then runs one final full assignment — this function is that
+    loop, the sampling is the caller's choice of ``corpus``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        F.col(label_col).alias("list_id"),
+    )
+    assign = c
+    cents = None
+    for _ in range(max(iters, 1)):
+        cents = _centroid_vectors(
+            assign.select("vec_id", "__v", F.col("list_id").alias("label")), "label", "__v"
+        )
+        assign = _nearest_centroid(
+            assign.select("vec_id", "__v"), cents, "vec_id", "__v", 1
+        )
+    return assign.select("vec_id", "list_id"), cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    nprobe: int = 2,
+    train_iters: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the scale path alongside LSH.
+
+    Coarse quantizer: per-``label_col`` centroids seed the codebook;
+    ``train_iters`` > 0 runs that many full Lloyd iterations first
+    (``kmeans_train``) before the final assignment. Every corpus vector is
+    ASSIGNED to its nearest centroid (the inverted list); each query probes
+    its ``nprobe`` nearest lists and scores only those lists' members. The
+    centroid table is O(#lists) → broadcast both times; the candidate join
+    is an equi-join on list id, so at 100 TB the corpus partitions by list
+    and a query touches nprobe/#lists of the data.
+
+    Ordering ties are broken on (round(sim, 6) desc, label asc) so an
+    external oracle folding dot products in the same index order assigns
+    identically (functions/vectors.py determinism note).
+    """
+    if train_iters > 0:
+        _, cents = kmeans_train(corpus, id_col, vec_col, label_col, iters=train_iters)
+    else:
+        cents = _centroid_vectors(corpus, label_col, vec_col)
+
     def nearest(side: DataFrame, id_alias: str, vec_alias: str, top_n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cents)).select(
-            id_alias,
-            vec_alias,
-            "label",
-            F.round(
-                cosine_similarity(F.col(vec_alias), F.col("__centvec")), 6
-            ).alias("__sim"),
-        )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("__sim"), F.asc("label"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= top_n)
-            .select(id_alias, vec_alias, F.col("label").alias("list_id"))
-        )
+        return _nearest_centroid(side, cents, id_alias, vec_alias, top_n)
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))

@@ -319,3 +319,25 @@ def test_lsh_verified_equals_candidates_intersect_truth(docs):
     for k, v in got.items():
         assert v == truth[k]
     assert (0, 3) in got  # exact dups always survive both stages
+
+
+def test_kmeans_train_recovers_clusters(spark):
+    """Lloyd iterations (IVF coarse-quantizer training) recover two
+    well-separated direction clusters from a deliberately WRONG seeding —
+    the round-1 caveat (label-seeded, no iteration) is now a real trainer."""
+    rng = np.random.default_rng(11)
+    a = np.array([10.0, 0.0, 0.0, 0.0])
+    b = np.array([0.0, 10.0, 0.0, 0.0])
+    vecs = [a + rng.normal(scale=0.5, size=4) for _ in range(10)] + [
+        b + rng.normal(scale=0.5, size=4) for _ in range(10)
+    ]
+    # seed labels by index parity — half the seeds are wrong for each cluster
+    rows = [(i, [float(x) for x in v], int(i % 2)) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assign, cents = similarity.kmeans_train(df, iters=3)
+    got = {r["vec_id"]: r["list_id"] for r in assign.collect()}
+    first = [got[i] for i in range(10)]
+    second = [got[i] for i in range(10, 20)]
+    # each true cluster maps to ONE list, and the two lists differ
+    assert len(set(first)) == 1 and len(set(second)) == 1
+    assert set(first) != set(second)
