@@ -1,3 +1,2 @@
-from data_profiler_spark.streaming.stream_validate import validate_stream
-
-__all__ = ["validate_stream"]
+from data_profiler_spark.streaming.stream_validate import validate_stream  # noqa: F401
+from data_profiler_spark.streaming.windowed_profile import windowed_profile  # noqa: F401

@@ -154,3 +154,74 @@ def test_stream_manifest_namespace_and_batch_idempotence(spark, tmp_io, dirs):
     clips = spark.read.parquet(in_dir)
     res = ValidationRun(spark, tmp_io, n_partitions=PARTS).run(clips)
     assert res.rows == N1
+
+
+def test_windowed_profile_stream_with_watermark_drops_late_rows(spark, dirs):
+    """Watermarked windowed aggregation (§2.9 windowed profile): on-time
+    rows aggregate per event-time window exactly like the batch groupBy;
+    a row arriving LATER than the watermark is excluded from its
+    already-closed window."""
+    import time as _time
+
+    from data_profiler_spark.streaming import windowed_profile
+
+    in_dir, cp = dirs
+    schema = "event_id long, ts timestamp, value double"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = in_dir + "_profile_out"
+
+    def drain(name):
+        # parquet sink (memory sink cannot recover from a checkpoint);
+        # append mode emits each closed window exactly once
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        prof = windowed_profile(stream, "ts", ["value"], "1 minute", "2 minutes")
+        q = (
+            prof.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            str(r["window_start"]): r
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # batch 1: two windows' worth of on-time data, plus a max-ts row that
+    # advances the watermark to 12:08 (12:10 - 2min)
+    land(
+        [(1, t0, 1.0), (2, t0 + dt.timedelta(seconds=30), 3.0),
+         (3, t0 + m, 5.0), (4, t0 + 10 * m, 7.0)]
+    )
+    first = drain("wp1")
+    # append mode: windows 12:00 and 12:01 are closed (watermark 12:08)
+    assert str(t0) in first and first[str(t0)]["value_n"] == 2
+    assert first[str(t0)]["value_mean"] == 2.0
+    _time.sleep(1.1)  # distinct mtime so the file source sees a new file
+
+    # batch 2 (same checkpoint → watermark persisted at 12:08):
+    # late row at 12:01 (window already closed) must be DROPPED;
+    # on-time row at 12:11 lands in a fresh window.
+    land([(5, t0 + m, 100.0), (6, t0 + 11 * m, 9.0), (7, t0 + 14 * m, 1.0)])
+    second = drain("wp2")
+    # the sink is cumulative; the 12:01 row is drain1's single emission —
+    # the late 100.0 row must neither re-emit nor alter the closed window
+    all_rows = spark.read.parquet(out_dir).collect()
+    w_1201 = [r for r in all_rows if str(r["window_start"]) == str(t0 + m)]
+    assert len(w_1201) == 1  # exactly-once emission, no late resurrection
+    assert w_1201[0]["value_n"] == 1 and w_1201[0]["value_mean"] == 5.0
+    assert str(t0 + 11 * m) in second and second[str(t0 + 11 * m)]["value_n"] == 1
+
+    # batch sanity: same function on a batch frame = plain window groupBy
+    batch = windowed_profile(spark.read.schema(schema).parquet(in_dir), "ts", ["value"])
+    rows = {str(r["window_start"]): r for r in batch.collect()}
+    assert rows[str(t0)]["value_n"] == 2 and rows[str(t0 + m)]["value_n"] == 2
