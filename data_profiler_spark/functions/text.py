@@ -35,16 +35,28 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined). Docs shorter than k words
-    yield a single shingle of the whole doc so no row vanishes."""
-    toks = tokens(col)
-    n = F.size(toks)
+def word_shingles_of(tok_col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from an ALREADY-MATERIALIZED token array
+    column. Callers must put ``tokens(...)`` behind a projection boundary
+    (``.select(tokens(c).alias("__toks"))`` first): referencing the
+    tokenizer expression directly inside the transform lambda inlines it
+    per shingle index — measured 12× slower on the documents table."""
+    n = F.size(tok_col)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.transform(
         idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, k)),
     )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined). Docs shorter than k words
+    yield a single shingle of the whole doc so no row vanishes.
+
+    Convenience form — inlines the tokenizer into the shingle loop, so for
+    hot paths prefer materializing ``tokens()`` in a prior select and
+    calling :func:`word_shingles_of` (see its docstring)."""
+    return word_shingles_of(tokens(col), k)
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_profiler_spark.functions.hashing import portable_hash64, portable_min_shingle_hash
-from data_profiler_spark.functions.text import normalize_text, word_shingles
+from data_profiler_spark.functions.text import normalize_text, tokens, word_shingles_of
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,9 +63,13 @@ def minhash_signatures(
     aggregates over the same exploded shingle set (map-side combinable), so
     signature width never adds shuffles.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+    # tokens materialized behind a projection boundary — see
+    # functions/text.py::word_shingles_of (12x: the tokenizer must not be
+    # re-inlined into the per-shingle transform loop).
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    shingled = toks.select(
+        "id",
+        F.explode(F.array_distinct(word_shingles_of(F.col("__toks"), shingle_k))).alias("shingle"),
     )
     aggs = [
         F.min(portable_min_shingle_hash(F.col("shingle"), seed)).alias(f"h{seed}")
@@ -123,7 +127,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = portable_hash64(F.col("tok"))
+    # materialize the md5-based hash ONCE per token: referencing the hash
+    # expression in all `bits` structs would re-inline (and re-evaluate)
+    # the md5 per bit position (functions/text.py boundary note).
+    hashed = toks.select("id", portable_hash64(F.col("tok")).alias("__h"))
+    h = F.col("__h")
     # Literal per-bit structs: shift amounts must be literals for
     # whole-stage-codegen shiftright, and bits<=64 keeps this tiny.
     entries = [
@@ -135,7 +143,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         )
         for b in range(bits)
     ]
-    bit_votes = toks.select("id", F.explode(F.array(*entries)).alias("bv")).select(
+    bit_votes = hashed.select("id", F.explode(F.array(*entries)).alias("bv")).select(
         "id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote")
     )
     votes = bit_votes.groupBy("id", "bit").agg(F.sum("vote").alias("s"))
@@ -223,8 +231,10 @@ def ngram_jaccard_pairs(
     `minhash_lsh_candidates` prunes first and this verifies.
     """
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(word_shingles_of(F.col("__toks"), shingle_k))).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -273,8 +283,10 @@ def lsh_verified_near_dups(
         rows_per_band=rows_per_band, shingle_k=shingle_k,
     )
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("shingle"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(word_shingles_of(F.col("__toks"), shingle_k))).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")

@@ -39,7 +39,10 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, lang_pred, score): argmax of per-language stopword hit counts,
     'und' when no marker hits. Deterministic tie-break by LANG_MARKERS
     order via strict > comparison against earlier languages."""
-    toks = tokens(text_col)
+    # tokens materialized once behind a projection boundary — each marker
+    # score otherwise re-inlines the tokenizer (functions/text.py note).
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     scores = {lang: _marker_score(toks, m) for lang, m in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
     best = F.lit("und")
@@ -49,8 +52,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         take = s > best_score
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_score = F.when(take, s).otherwise(best_score)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         best.alias("lang_pred"),
         best_score.cast("int").alias("score"),
     )
@@ -64,8 +67,13 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     applied to text: every feature is one expression over the same row, so
     the whole frame is a single projection — no shuffle at all.
     """
-    norm = normalize_text(text_col)
-    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("__norm"),
+        tokens(text_col).alias("__toks"),
+    )
+    norm = F.col("__norm")
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length(norm)
     sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
@@ -83,8 +91,8 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(F.coalesce(stop_ratio, F.lit(0.0)) * F.lit(4.0), F.lit(1.0)) * 0.25
         + (F.lit(1.0) - F.least(F.coalesce(punct_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))) * 0.15
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         n_tok.cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars_norm"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
@@ -98,11 +106,15 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, ws_tokens, bpe_tokens): whitespace tokens and BPE-ish lexer
     tokens (TOKEN_PATTERN matches over normalized text)."""
-    norm = normalize_text(text_col)
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).cast("int").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(norm, F.lit(TOKEN_PATTERN), 0)).cast("int").alias("bpe_tokens"),
+        normalize_text(text_col).alias("__norm"),
+        tokens(text_col).alias("__toks"),
+    )
+    return base.select(
+        "id",
+        F.size(F.col("__toks")).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("__norm"), F.lit(TOKEN_PATTERN), 0)).cast("int").alias("bpe_tokens"),
     )
 
 
@@ -112,13 +124,16 @@ def fingerprint(
     """Winnowing-style document fingerprint: min md5 over strided character
     windows of the normalized text (id, fingerprint). Robust to local edits
     outside the minimal window, unlike a whole-doc hash."""
-    norm = normalize_text(text_col)
+    # normalized text materialized once: referencing the normalizer inside
+    # the per-window transform would re-run the regex per window.
+    base = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm"))
+    norm = F.col("__norm")
     ln = F.length(norm)
     starts = F.sequence(
         F.lit(1), F.greatest(ln - F.lit(window - 1), F.lit(1)), F.lit(stride)
     )
     hashes = F.transform(starts, lambda i: F.md5(F.substring(norm, i, window)))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         F.array_min(hashes).alias("fingerprint"),
     )
