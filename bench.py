@@ -124,6 +124,10 @@ def main() -> int:
         )
     )
     spark.stop()
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # ~12GB per run; don't let
+    # repeated per-round bench invocations fill the disk
     return 0
 
 

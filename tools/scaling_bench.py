@@ -202,6 +202,10 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines))
     print(json.dumps(summary))
+    if owns_input:
+        import shutil
+
+        shutil.rmtree(input_dir, ignore_errors=True)  # ~48GB at n=1M
     return 0
 
 
