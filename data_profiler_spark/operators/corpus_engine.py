@@ -287,6 +287,42 @@ def ks_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", F.round("ks_d", 4).alias("ks_d"), "n")
 
 
+# DuckDB oracle for the exact two-sample KS: evaluate both empirical CDFs
+# at every point of the tagged union via RANGE windows (counts all rows with
+# value <= current — searchsorted side='right' semantics, ties included),
+# per event_type, against the same deterministic md5-ordered baseline
+# sample the Spark entry ships to ks_exact_by_group.
+KS_EXACT_SQL = f"""
+WITH base AS (
+  SELECT value FROM events
+  WHERE event_type = 'view' AND value IS NOT NULL
+  ORDER BY md5(CAST(event_id AS VARCHAR)), value
+  LIMIT {KS_BASELINE_N}
+),
+g AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+types AS (SELECT DISTINCT event_type FROM events),
+u AS (
+  SELECT event_type, value, 1 AS in_g, 0 AS in_b FROM g
+  UNION ALL
+  SELECT t.event_type, b.value, 0, 1 FROM types t CROSS JOIN base b
+),
+c AS (
+  SELECT event_type, value,
+    SUM(in_g) OVER (PARTITION BY event_type ORDER BY value
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg,
+    SUM(in_b) OVER (PARTITION BY event_type ORDER BY value
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+    SUM(in_g) OVER (PARTITION BY event_type) AS ng,
+    SUM(in_b) OVER (PARTITION BY event_type) AS nb
+  FROM u
+)
+SELECT event_type,
+       ROUND(MAX(ABS(cg / CAST(ng AS DOUBLE) - cb / CAST(nb AS DOUBLE))), 4) AS ks_d,
+       CAST(MAX(ng) AS BIGINT) AS n
+FROM c GROUP BY event_type
+"""
+
+
 ENGINE_QUERIES = {
     "check_unique_violations": (check_unique_violations, CHECK_UNIQUE_SQL),
     "check_referential_violations": (check_referential_violations, CHECK_REFERENTIAL_SQL),
@@ -295,5 +331,5 @@ ENGINE_QUERIES = {
     "profile_outlier_counts": (profile_outlier_counts, _outlier_sql()),
     "psi_drift": (psi_drift, PSI_DRIFT_SQL),
     "audio_decode_stats": (audio_decode_stats, None),
-    "ks_exact_drift": (ks_exact_drift, None),
+    "ks_exact_drift": (ks_exact_drift, KS_EXACT_SQL),
 }
