@@ -80,6 +80,17 @@ def wav_sample_rate(payload: bytes) -> int:
 # the dominant-bin estimate is unchanged for stationary tones.
 _SPEC_WINDOW = 16384
 
+_HANN_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hann(n: int) -> np.ndarray:
+    w = _HANN_CACHE.get(n)
+    if w is None:
+        w = np.hanning(n)
+        if len(_HANN_CACHE) < 4096:  # clip lengths cluster; bound the cache
+            _HANN_CACHE[n] = w
+    return w
+
 
 def _clip_stats(x: np.ndarray, sr: int) -> dict:
     """Per-clip metrics from decoded float32 PCM. Pure numpy, no allocation
@@ -103,10 +114,21 @@ def _clip_stats(x: np.ndarray, sr: int) -> dict:
     # and re-creates exactly the duration skew the salting fights).
     if n >= 16:
         seg = x[:_SPEC_WINDOW]
-        spec = np.abs(np.fft.rfft(seg.astype(np.float64)))
-        k = int(np.argmax(spec[1:]) + 1)
-        sig = float(np.sum(spec[max(1, k - 2) : k + 3] ** 2))
-        rest = float(np.sum(spec[1:] ** 2) - sig)
+        # Zero-pad to the next power of two: pocketfft's pow-2 path is
+        # 2-4x faster than awkward composite/prime lengths, and the FFT is
+        # ~70% of this kernel (measured). A Hann window first confines a
+        # non-bin-aligned tone's energy to its main lobe (rectangular-window
+        # leakage would smear it across the padded spectrum); the lobe is 4
+        # unpadded bins wide, so the signal family is ±ceil(2·m/len) padded
+        # bins around the peak.
+        m = 1 << (len(seg) - 1).bit_length()
+        win = seg.astype(np.float64)
+        win *= _hann(len(seg))
+        power = np.abs(np.fft.rfft(win, n=m)) ** 2
+        k = int(np.argmax(power[1:]) + 1)
+        half = int(np.ceil(2.0 * m / len(seg)))
+        sig = float(np.sum(power[max(1, k - half) : k + half + 1]))
+        rest = float(np.sum(power[1:]) - sig)
         row["snr_db_vs_sine"] = 10.0 * np.log10(sig / rest) if rest > 0 else float("inf")
     return row
 
