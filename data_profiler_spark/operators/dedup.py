@@ -12,11 +12,13 @@ DataFrame pipeline designed around its shuffle:
 - MinHash LSH: shingle explode → per-(doc, band) signature agg →
   self-equi-join on (band_id, band_key). The join key includes the band id,
   so all B bands ride ONE shuffle instead of B.
-- SimHash: explode tokens × bit positions, two chained aggs; pairs via
-  self-join banded on the high byte to avoid a full cross join.
+- SimHash: explode tokens × bit positions, two chained aggs; pairs via a
+  pigeonhole-banded equi-join (max_hamming+1 chunks → guaranteed recall
+  within the radius), never a cross join.
 - n-gram Jaccard: distinct-shingle explode, self-join on shingle, one
   groupBy per pair — exact Jaccard for verification / small-candidate sets;
-  LSH is the scale path and Jaccard the refinement on its candidates.
+  LSH is the scale path and Jaccard the refinement on its candidates
+  (``lsh_verified_near_dups`` is that composition, candidate-bounded).
 
 All fingerprints use engine-portable md5 hashing (functions/hashing.py) so
 every variant is oracle-verifiable in DuckDB.
