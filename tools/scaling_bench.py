@@ -57,7 +57,15 @@ def _submit(extra: list[str], cores: int) -> dict:
         *extra,
     ]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    last = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    json_lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    if not json_lines:
+        sys.stderr.write(
+            f"[scaling_bench] leg cores={cores} produced no JSON; stderr tail:\n"
+            + "\n".join(r.stderr.strip().splitlines()[-30:])
+            + "\n"
+        )
+        raise RuntimeError(f"leg cores={cores} failed (rc={r.returncode})")
+    last = json_lines[-1]
     return json.loads(last)
 
 
@@ -141,6 +149,7 @@ def main() -> int:
         shell=True,
         check=True,
     )
+    owns_input = args.input_dir is None
     input_dir = args.input_dir or write_input(args.n)
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     cores_needed = sorted({c for p in pairs for c in p})
