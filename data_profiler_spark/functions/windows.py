@@ -77,6 +77,7 @@ def distributed_cumsum(
     values: list[str],
     num_partitions: int | None = None,
     include_total: bool = False,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Append `cum_<v>` running-total columns (and optionally `total_<v>`
     grand-total columns) for each v in `values`, ordered by `order_by`.
@@ -85,45 +86,69 @@ def distributed_cumsum(
     with ties straddling a range boundary the running total at the tied rows
     would otherwise depend on which side of the boundary they landed.
 
-    Eager in phase 2: collects the P per-partition totals at call time (one
-    small job that also populates the persisted cache) and computes the
-    exclusive prefix driver-side — no global single-task window anywhere in
-    the returned plan.
+    ``partition_by`` resets the running total per group (e.g. per month)
+    WITHOUT funneling each group through one task: groups lead the range
+    partitioning so their rows stay contiguous, the local window partitions
+    by (physical partition, group), and the driver-side exclusive prefix
+    restarts at every group boundary. Use when groups are FEW and LARGE
+    (months, regions): the collected totals frame is O(P + #groups) rows.
+    For many small groups a plain ``Window.partitionBy(group)`` is already
+    scale-safe — each task holds whole small groups.
+
+    Eager in phase 2: collects the per-(partition, group) totals at call
+    time (one small job that also populates the persisted cache) and
+    computes the exclusive prefix driver-side — no global single-task
+    window anywhere in the returned plan.
     """
     from pyspark.sql.types import StructField, StructType
 
+    groups = partition_by or []
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
-        df.repartitionByRange(n, *order_by)
+        df.repartitionByRange(n, *[F.col(g) for g in groups], *order_by)
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _ACTIVE_CACHES.append(parted)
 
-    totals = parted.groupBy(_PID).agg(
+    totals = parted.groupBy(_PID, *groups).agg(
         *[F.sum(v).alias(f"__tot_{v}") for v in values]
     )
     tot_schema = {f.name: f.dataType for f in totals.schema.fields}
-    rows = sorted(totals.collect(), key=lambda r: r[_PID])
-    acc = {v: _zero_for(tot_schema[f"__tot_{v}"]) for v in values}
+    rows = sorted(
+        totals.collect(), key=lambda r: (tuple(str(r[g]) for g in groups), r[_PID])
+    )
+    # exclusive prefix per group (rows are sorted (group, pid)); the running
+    # accumulator after a group's last row is that group's grand total.
     off_rows = []
+    totals_by_key: dict[tuple, dict] = {}
+    acc: dict = {}
+    prev_key: object = object()
     for r in rows:
-        off_rows.append([int(r[_PID])] + [acc[v] for v in values])
+        key = tuple(r[g] for g in groups)
+        if key != prev_key:
+            acc = {v: _zero_for(tot_schema[f"__tot_{v}"]) for v in values}
+            prev_key = key
+        off_rows.append([int(r[_PID]), *key, *[acc[v] for v in values]])
         for v in values:
             t = r[f"__tot_{v}"]
             if t is not None:
                 acc[v] = acc[v] + t
+        totals_by_key[key] = acc
     if include_total:
-        off_rows = [row + [acc[v] for v in values] for row in off_rows]
+        for i, r in enumerate(rows):
+            key = tuple(r[g] for g in groups)
+            off_rows[i] = off_rows[i] + [totals_by_key[key][v] for v in values]
 
     fields = [StructField(_PID, next(f.dataType for f in totals.schema.fields if f.name == _PID), False)]
+    fields += [StructField(g, tot_schema[g], True) for g in groups]
     fields += [StructField(f"__off_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
     if include_total:
         fields += [StructField(f"total_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
     offsets = df.sparkSession.createDataFrame(off_rows, StructType(fields))
 
     w_local = (
-        Window.partitionBy(_PID)
+        Window.partitionBy(_PID, *groups)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -137,4 +162,4 @@ def distributed_cumsum(
     ]
     if include_total:
         out_cols += [F.col(f"total_{v}") for v in values]
-    return local.join(F.broadcast(offsets), _PID).select(*out_cols)
+    return local.join(F.broadcast(offsets), [_PID, *groups]).select(*out_cols)

@@ -275,12 +275,13 @@ def velocity_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform_service.py:669-731; thresholds find_velocity :825-836, note
     `<=` boundaries).
 
-    Scale: the per-month ranking window partitions by month — each frame is
-    bounded by the SKU catalog, not the row count (the month agg has already
-    collapsed 10^12 rows to |SKUs|×|months|). The OVERALL ranking is over
-    all SKUs with no partition key, so it uses distributed_cumsum. The
-    months×SKUs fill grid is |SKUs|×|months| rows — same cardinality as the
-    output, built from a broadcast of the (tiny) month list."""
+    Scale: BOTH rankings go through distributed_cumsum — the per-month one
+    with partition_by=["month"] (months lead the range partitioning, local
+    windows are per (physical partition, month), driver offsets reset per
+    month), so no month is ever funneled through one task even with a
+    10^9-SKU catalog. The months×SKUs fill grid is |SKUs|×|months| rows —
+    same cardinality as the output, built from a broadcast of the (tiny)
+    month list."""
     li = T(spark, sf_dir, "lineitem")
     month = F.date_format(F.col("l_shipdate"), "MMMM-yyyy")
     # ONE scan of the fact table: the monthly aggregate is the only pass
@@ -300,14 +301,15 @@ def velocity_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("E")
         )
 
-    w = (
-        Window.partitionBy("month")
-        .orderBy(F.desc("lines"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    mcum = distributed_cumsum(
+        per,
+        [F.desc("lines"), F.asc("l_partkey")],
+        ["lines"],
+        include_total=True,
+        partition_by=["month"],
     )
-    w_tot = Window.partitionBy("month")
-    cum_prev_m = (F.sum("lines").over(w) - F.col("lines")) / F.sum("lines").over(w_tot)
-    monthly = per.select("month", "l_partkey", classify(cum_prev_m).alias("velocity"))
+    cum_prev_m = (F.col("cum_lines") - F.col("lines")) / F.col("total_lines")
+    monthly = mcum.select("month", "l_partkey", classify(cum_prev_m).alias("velocity"))
 
     overall_base = per.groupBy("l_partkey").agg(F.sum("lines").alias("lines"))
     cum = distributed_cumsum(
@@ -751,7 +753,13 @@ def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     A14 (grouped box-plot stats; engine path: profiling.column_profile with
     group_cols). `percentile` is Spark's exact interpolated percentile —
     identical definition to DuckDB's quantile_cont ((n-1)*p linear
-    interpolation) — so values hash-match at 4dp."""
+    interpolation) — so values hash-match at 4dp.
+
+    Scale note: exact `percentile` buffers each group's values in the agg
+    state, so it is the ORACLE-parity surface (bounded groups). At 10^12
+    rows per group the engine path is the mergeable sketch pair —
+    percentile_approx (quantile_sketch entry) or the persisted t-digests
+    (profiling/tdigest.py) — which trade exactness for O(sketch) state."""
     ev = T(spark, sf_dir, "events")
     q = ev.groupBy("event_type").agg(
         F.count("value").alias("n_value"),

@@ -62,3 +62,38 @@ def test_empty_input(spark):
     df = spark.range(0).select(F.col("id"), F.lit(1).alias("v"))
     out = distributed_cumsum(df, [F.asc("id")], ["v"], num_partitions=4)
     assert out.count() == 0
+
+
+def test_distributed_cumsum_partition_by_matches_pandas(spark):  # noqa: F811
+    """Grouped two-phase cumsum (partition_by): per-group running totals and
+    per-group grand totals match a pandas groupby-cumsum, for groups that
+    straddle many range partitions."""
+    import pandas as pd
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "grp": rng.choice(["a", "b", "c"], size=500),
+            "key": np.arange(500),
+            "v": rng.integers(1, 100, size=500),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = distributed_cumsum(
+        df,
+        [F.desc("v"), F.asc("key")],
+        ["v"],
+        num_partitions=8,
+        include_total=True,
+        partition_by=["grp"],
+    ).toPandas()
+
+    expect = pdf.sort_values(["grp", "v", "key"], ascending=[True, False, True]).copy()
+    expect["cum_v"] = expect.groupby("grp")["v"].cumsum()
+    expect["total_v"] = expect.groupby("grp")["v"].transform("sum")
+    got = out.set_index("key").sort_index()
+    want = expect.set_index("key").sort_index()
+    assert (got["cum_v"] == want["cum_v"]).all()
+    assert (got["total_v"] == want["total_v"]).all()
