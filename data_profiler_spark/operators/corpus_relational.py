@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from data_profiler_spark.functions.dates import WEEKEND_DATE_RULES, adjust_weekend_dates
 from data_profiler_spark.functions.text import scrub
+from data_profiler_spark.functions.topk import grouped_topk
 from data_profiler_spark.functions.windows import distributed_cumsum
 from data_profiler_spark.sources.tpch import load_table
 
@@ -666,21 +667,26 @@ FROM events
 # --- O4/W3 top-k per group --------------------------------------------------
 
 def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via the salted two-phase grouped_topk: 5 segments
+    over 10^12 orders would funnel through 5 window tasks with a plain
+    partitionBy — phase 1 keeps each (segment, salt)-bucket's local top 3,
+    phase 2 re-ranks the <= 3·64 survivors per segment (functions/topk.py).
+    Exact: any global top-3 row is its bucket's local top-3."""
     orders = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    top = grouped_topk(
+        joined,
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        salt_col="o_orderkey",
     )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("rank").cast("int"),
-            F.col("o_orderkey").alias("orderkey"),
-            F.round("o_totalprice", 4).alias("totalprice"),
-        )
+    return top.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("rank").cast("int"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 4).alias("totalprice"),
     )
 
 

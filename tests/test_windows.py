@@ -97,3 +97,35 @@ def test_distributed_cumsum_partition_by_matches_pandas(spark):  # noqa: F811
     want = expect.set_index("key").sort_index()
     assert (got["cum_v"] == want["cum_v"]).all()
     assert (got["total_v"] == want["total_v"]).all()
+
+
+def test_grouped_topk_matches_plain_window(spark):
+    """Salted two-phase top-k is EXACT: identical to the plain per-group
+    window on a frame whose groups straddle every salt bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from data_profiler_spark.functions.topk import grouped_topk
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "grp": rng.choice(["x", "y"], size=400),
+            "key": np.arange(400),
+            "score": rng.normal(size=400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    order = [F.desc("score"), F.asc("key")]
+    got = {
+        (r["grp"], r["rank"]): r["key"]
+        for r in grouped_topk(df, ["grp"], order, k=5, salt_col="key", salt_buckets=16).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(*order)
+    expect = {
+        (r["grp"], r["rank"]): r["key"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == expect
