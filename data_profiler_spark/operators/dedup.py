@@ -26,7 +26,7 @@ every variant is oracle-verifiable in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_profiler_spark.functions.hashing import portable_hash64, portable_min_shingle_hash
@@ -44,9 +44,14 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.md5(normalize_text(text_col)).alias("fingerprint"),
     )
-    w = Window.partitionBy("fingerprint")
+    # agg + equi-join rather than min() OVER (PARTITION BY fingerprint):
+    # a window partition IS a task, so a pathological 10^9-copy duplicate
+    # cluster (common in web crawls) would funnel through one task — while
+    # the join formulation is map-side-combinable on the agg side and AQE
+    # skew-splits the join's hot fingerprint partitions.
+    canon = fp.groupBy("fingerprint").agg(F.min("id").alias("canonical_id"))
     return (
-        fp.withColumn("canonical_id", F.min("id").over(w))
+        fp.join(canon, "fingerprint")
         .withColumn("is_dup", (F.col("id") != F.col("canonical_id")).cast("int"))
         .select("id", "fingerprint", "canonical_id", "is_dup")
     )
