@@ -37,7 +37,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint, canonical_id, is_dup): md5-of-normalized-text
     grouping; canonical = min id per fingerprint.
 
-    Scale: the window shuffles only (id, fingerprint) — text is pruned
+    Scale: only (id, fingerprint) crosses the shuffle — text is pruned
     before the exchange. Equivalent SQL: min(id) OVER (PARTITION BY fp).
     """
     fp = df.select(
