@@ -108,21 +108,29 @@ def main() -> int:
     timings["clips_validate"] = round(clips_wall, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "clips_n": clips_n,
-                "clips_per_sec": round(clips_per_sec, 1),
-                "clips_trial_rates": trial_rates,
-                "cores": cores,
-            }
-        )
-    )
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips_n": clips_n,
+        "clips_per_sec": round(clips_per_sec, 1),
+        "clips_trial_rates": trial_rates,
+        "cores": cores,
+    }
+    # surface the latest 1M-clip taskset-bound scaling evidence (the
+    # BASELINE.json north_rule criterion) alongside the headline numbers
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    try:
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling_efficiency_n_to_4n"] = sc["scaling_efficiency"]
+        out["scaling_primary_pair"] = sc["primary_pair"]
+        out["steady_state_1m_clips_per_sec_4n"] = sc["pairs"][0]["rate_4n"]
+    except (OSError, KeyError, ValueError, IndexError):
+        pass
+    print(json.dumps(out))
     spark.stop()
     import shutil
 
