@@ -87,3 +87,49 @@ def test_mixed_date_parse_matches_pandas_dayfirst(spark):
 def test_mixed_chain_first_format_is_iso():
     # coercion fill-count semantics depend on strict ISO staying first
     assert MIXED_DATE_FORMATS[0].startswith("yyyy-")
+
+
+def test_weekend_rules_never_emit_weekends(spark):
+    """Invariant over two full years of dates: the three shifting rules
+    never output a Saturday/Sunday, weekdays always pass through unchanged,
+    AS_IS is the identity."""
+    days = [(date(2023, 1, 1) + timedelta(days=i)).isoformat() for i in range(730)]
+    df = spark.createDataFrame([(d,) for d in days], "d string")
+    cols = [
+        adjust_weekend_dates(F.col("d"), r).alias(r) for r in WEEKEND_DATE_RULES
+    ] + [F.dayofweek(F.col("d").cast("date")).alias("dow")]
+    for row in df.select("d", *cols).collect():
+        src = date.fromisoformat(row["d"])
+        for rule in WEEKEND_DATE_RULES:
+            out = row[rule]
+            if rule == "AS_IS":
+                assert out == src
+            else:
+                assert out.isoweekday() <= 5, (rule, src, out)
+            if src.isoweekday() <= 5:  # weekday in -> unchanged, every rule
+                assert out == src
+
+
+def test_mixed_parse_roundtrips_every_format(spark):
+    """Each documented format round-trips: render a known date in that
+    format, parse it back, get the same date."""
+    py_fmt = {
+        "yyyy-M-d": "%Y-%m-%d",
+        "yyyy/M/d": "%Y/%m/%d",
+        "d/M/yyyy": "%d/%m/%Y",
+        "d-M-yyyy": "%d-%m-%Y",
+        "d.M.yyyy": "%d.%m.%Y",
+        "yyyyMMdd": "%Y%m%d",
+        "d MMM yyyy": "%d %b %Y",
+        "MMM d yyyy": "%b %d %Y",
+    }
+    target = date(2024, 3, 7)
+    rows = [(f, target.strftime(py_fmt[f])) for f in py_fmt]
+    # M/d/yyyy is shadowed by the day-first preference for ambiguous
+    # strings (by design); exercise it with an unambiguous month-first date
+    rows.append(("M/d/yyyy", "3/19/2024"))
+    df = spark.createDataFrame(rows, "fmt string, s string")
+    got = {r["fmt"]: r["d"] for r in df.select("fmt", parse_date_mixed(F.col("s")).alias("d")).collect()}
+    for f, _ in rows:
+        expect = date(2024, 3, 19) if f == "M/d/yyyy" else target
+        assert got[f] == expect, (f, got[f])
