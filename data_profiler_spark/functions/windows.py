@@ -59,6 +59,17 @@ def release_cumsum_caches() -> None:
         _ACTIVE_CACHES.pop().unpersist(blocking=False)
 
 
+def pin_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and register it with the same
+    release ledger as the cumsum caches. For callers that feed ONE aggregate
+    into several :func:`distributed_cumsum` calls plus side lookups (e.g.
+    velocity_by_month's per-(month, sku) base): pinning the shared base
+    collapses N source re-scans into one."""
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
 def _zero_for(dt):
     import decimal
 
@@ -102,6 +113,8 @@ def distributed_cumsum(
     """
     from pyspark.sql.types import StructField, StructType
 
+    from data_profiler_spark.functions.frames import local_frame
+
     groups = partition_by or []
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
@@ -115,8 +128,17 @@ def distributed_cumsum(
         *[F.sum(v).alias(f"__tot_{v}") for v in values]
     )
     tot_schema = {f.name: f.dataType for f in totals.schema.fields}
+    # Sort key must group identical RAW group values contiguously: a plain
+    # str() sort would interleave distinct values with equal string forms
+    # (None vs 'None', 1 vs '1') and reset the accumulator mid-group, so the
+    # key carries (is-null, type, str) per group column — equal raw tuples
+    # sort equal, distinct-typed lookalikes sort apart.
     rows = sorted(
-        totals.collect(), key=lambda r: (tuple(str(r[g]) for g in groups), r[_PID])
+        totals.collect(),
+        key=lambda r: (
+            tuple((r[g] is None, str(type(r[g])), str(r[g])) for g in groups),
+            r[_PID],
+        ),
     )
     # exclusive prefix per group (rows are sorted (group, pid)); the running
     # accumulator after a group's last row is that group's grand total.
@@ -145,7 +167,11 @@ def distributed_cumsum(
     fields += [StructField(f"__off_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
     if include_total:
         fields += [StructField(f"total_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
-    offsets = df.sparkSession.createDataFrame(off_rows, StructType(fields))
+    # Arrow path (local_frame), NOT createDataFrame(python_rows): the pickled
+    # path would put an EvaluatePython scan of the offsets under EVERY
+    # consumer of the cumsum output (~seconds of Python-worker spin-up per
+    # job — the r2 pareto_abc_parts regression).
+    offsets = local_frame(df.sparkSession, off_rows, StructType(fields))
 
     w_local = (
         Window.partitionBy(_PID, *groups)
@@ -156,10 +182,15 @@ def distributed_cumsum(
         "*", *[F.sum(v).over(w_local).alias(f"__local_{v}") for v in values]
     )
 
-    out_cols = [F.col(c) for c in df.columns] + [
-        (F.col(f"__local_{v}") + F.col(f"__off_{v}")).alias(f"cum_{v}")
+    # Null-safe equality on the group columns: a NULL group value (e.g. a
+    # null shipdate → null month) must still find its offsets row — plain
+    # `==` would silently drop those rows from the output.
+    cond = [local[_PID] == offsets[_PID]]
+    cond += [local[g].eqNullSafe(offsets[g]) for g in groups]
+    out_cols = [local[c] for c in df.columns] + [
+        (local[f"__local_{v}"] + offsets[f"__off_{v}"]).alias(f"cum_{v}")
         for v in values
     ]
     if include_total:
-        out_cols += [F.col(f"total_{v}") for v in values]
-    return local.join(F.broadcast(offsets), [_PID, *groups]).select(*out_cols)
+        out_cols += [offsets[f"total_{v}"] for v in values]
+    return local.join(F.broadcast(offsets), cond).select(*out_cols)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from data_profiler_spark.functions.dates import WEEKEND_DATE_RULES, adjust_weekend_dates
 from data_profiler_spark.functions.text import scrub
 from data_profiler_spark.functions.topk import grouped_topk
-from data_profiler_spark.functions.windows import distributed_cumsum
+from data_profiler_spark.functions.windows import distributed_cumsum, pin_cache
 from data_profiler_spark.sources.tpch import load_table
 
 DEC = "decimal(18,4)"
@@ -295,9 +295,14 @@ def velocity_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan of the fact table: the monthly aggregate is the only pass
     # over row data; overall lines and the month list re-aggregate `per`
     # (|SKUs|x|months| rows), not lineitem — at 10^12 rows that's the
-    # difference between one and three full passes.
-    per = li.groupBy(month.alias("month"), F.col("l_partkey")).agg(
-        F.count(F.lit(1)).alias("lines")
+    # difference between one and three full passes. pin_cache makes the
+    # one-scan claim physical: without it each of the four consumers
+    # (monthly cumsum, overall base, month list, fill grid) would plan its
+    # own lineitem scan+agg.
+    per = pin_cache(
+        li.groupBy(month.alias("month"), F.col("l_partkey")).agg(
+            F.count(F.lit(1)).alias("lines")
+        )
     )
 
     def classify(cum_prev):
