@@ -37,7 +37,10 @@ HEADLINE = [
     "psi_drift",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_quality",
+    # r3: text_quality merged into text_features (lang+quality+tokens+
+    # fingerprint in ONE projection) — slightly more work than r2's
+    # text_quality under a new name; see BENCH/BASELINE.md.
+    "text_features",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "part_material_flow",

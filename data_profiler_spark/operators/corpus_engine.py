@@ -61,6 +61,78 @@ WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_size < 25 AND p_partkey = l_partkey
 """
 
 
+# --- merged violations table (uniqueness + referential in one contract) ------
+
+def check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/J8 + A1: the engine's single violations-table contract — the
+    uniqueness check and the referential check append to ONE violations
+    frame (schema check_name/key_value/detail), exactly how plans/runner.py
+    accumulates all_violations into a single table and how the reference
+    appends every check's failures to one list. Merged from the r2
+    check_unique_violations + check_referential_violations entries (one
+    driver slot, same two operators, identical schemas)."""
+    return check_unique_violations(spark, sf_dir).unionByName(
+        check_referential_violations(spark, sf_dir)
+    )
+
+
+CHECK_VIOLATIONS_SQL = f"{CHECK_UNIQUE_SQL} UNION ALL {CHECK_REFERENTIAL_SQL}"
+
+
+# --- S8 keyed upsert, end-to-end through the TableIO seam --------------------
+
+def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 batched keyed update-or-insert (reference
+    output_tables_service.py:484-520, 1k-row keyed UPDATE batches)
+    exercised END TO END through the TableIO seam: overwrite a base
+    customer table, upsert a deterministic mix of updated rows (key%10==0,
+    acctbal+1000, segment 'UPSERTED') and brand-new keys (key+5,000,000 for
+    key%1000==1), read the table back. The oracle replays the merge in SQL,
+    so keep/update/insert semantics are hash-checked — not just
+    pytest-asserted. Table lives under /tmp, overwritten per call (a few MB;
+    deterministic regardless of reruns)."""
+    import os
+    import tempfile
+
+    from data_profiler_spark.sources.tableio import ParquetTableIO
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    io = ParquetTableIO(os.path.join(tempfile.gettempdir(), f"dps_upsert_corpus_{tag}"))
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    io.overwrite(cust, "cust")
+    updated = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        F.lit("UPSERTED").alias("c_mktsegment"),
+    )
+    inserted = cust.filter(F.col("c_custkey") % 1000 == 1).select(
+        (F.col("c_custkey") + 5_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.round(F.col("c_acctbal") / 2, 2).alias("c_acctbal"),
+        F.lit("INSERTED").alias("c_mktsegment"),
+    )
+    io.upsert(updated.unionByName(inserted), "cust", key="c_custkey")
+    return io.read(spark, "cust").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+UPSERT_ROUNDTRIP_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment FROM customer
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM base WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey, c_name, ROUND(c_acctbal + 1000, 2), 'UPSERTED' FROM base WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey + 5000000, 'NEW_' || CAST(c_custkey AS VARCHAR), ROUND(c_acctbal / 2, 2), 'INSERTED'
+FROM base WHERE c_custkey % 1000 = 1
+"""
+
+
 # --- per-partition verdict grid (models/DataFiles.py:52-77 semantics) --------
 
 N_GRID_PARTS = 32
@@ -324,8 +396,8 @@ FROM c GROUP BY event_type
 
 
 ENGINE_QUERIES = {
-    "check_unique_violations": (check_unique_violations, CHECK_UNIQUE_SQL),
-    "check_referential_violations": (check_referential_violations, CHECK_REFERENTIAL_SQL),
+    "check_violations": (check_violations, CHECK_VIOLATIONS_SQL),
+    "upsert_roundtrip": (upsert_roundtrip, UPSERT_ROUNDTRIP_SQL),
     "verdict_grid": (verdict_grid, VERDICT_GRID_SQL),
     "profile_column_stats": (profile_column_stats, _profile_sql()),
     "profile_outlier_counts": (profile_outlier_counts, _outlier_sql()),

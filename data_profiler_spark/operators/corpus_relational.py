@@ -733,35 +733,121 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# --- A9 HLL++ approx distinct (sketch — engine-specific, rows-only check) ---
+# --- A9 HLL++ approx distinct, oracle-verified error bound ------------------
 
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct per group, verified IN THE PLAN: the entry
+    emits the exact distinct counts (hash-matched against DuckDB's COUNT
+    DISTINCT) plus a boolean per sketch asserting |hll − exact|/exact ≤ 0.15
+    (3σ of the rsd=0.05 sketch). The oracle pins the booleans to true, so a
+    bucketing/precision regression in the sketch flips the driver row red —
+    the r2 gap where sketch accuracy was only pytest-visible is closed.
+
+    Scale note: the exact countDistinct here is the verification harness,
+    not the production path — at 10^12 rows the engine uses the sketch alone
+    (profiling/profile.py approx path); this entry is what certifies it."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    rel_err_ok = lambda approx, exact: (  # noqa: E731
+        (F.abs(approx.cast("double") - exact) / exact) <= 0.15
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("__hp"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("__ho"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        rel_err_ok(F.col("__hp"), F.col("exact_parts")).cast("int").alias("hll_parts_ok"),
+        rel_err_ok(F.col("__ho"), F.col("exact_orders")).cast("int").alias("hll_orders_ok"),
     )
 
 
-# --- north-star quantile sketch (GK percentile_approx — rows-only check) ----
+HLL_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       1 AS hll_parts_ok,
+       1 AS hll_orders_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- north-star quantile sketch (GK percentile_approx), oracle-verified -----
+
+_GK_ACC = 10_000  # GK rank-error eps = 1/acc
+_GK_PS = [0.25, 0.5, 0.75, 0.99]
+_GK_TAGS = ["25", "50", "75", "99"]
+
 
 def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK-sketch quartiles per group (ref describe() quartiles,
-    data_profiler.py:503-508). Scalar columns, not an array: the harness
-    canonicalizer sorts/hashes row values, so array cells are out of contract
-    (corpus determinism rules, header of this file). Rows-only check —
-    sketch outputs are engine-specific within GK rank-error bounds."""
-    li = T(spark, sf_dir, "lineitem")
-    q = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10_000).alias("__q")
+    data_profiler.py:503-508), verified IN THE PLAN against the sketch's
+    documented rank-error bound: for each p the entry counts the rows
+    strictly below / at-or-below the sketch value (one extra pass with the
+    tiny per-group sketch frame broadcast back onto lineitem) and asserts
+    rank(gk_p) ∈ [p·n − εn − 1, p·n + εn + 1], ε = 1/accuracy. The exact
+    interpolated percentiles ride along and hash-match DuckDB quantile_cont,
+    so the oracle independently pins both halves: exact values by value,
+    sketch values by their GK guarantee (booleans pinned to true).
+
+    Scalar columns, not an array: the harness canonicalizer sorts/hashes row
+    values, so array cells are out of contract."""
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("n"),
+        F.percentile_approx("l_extendedprice", _GK_PS, _GK_ACC).alias("__gk"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))"
+        ).alias("__ex"),
     )
-    return q.select(
+    ranks = (
+        li.join(F.broadcast(agg), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("__gk")[i]).cast("long")
+                ).alias(f"__lo{t}")
+                for i, t in enumerate(_GK_TAGS)
+            ],
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("__gk")[i]).cast("long")
+                ).alias(f"__hi{t}")
+                for i, t in enumerate(_GK_TAGS)
+            ],
+        )
+    )
+    eps = 1.0 / _GK_ACC
+    joined = agg.join(ranks, "l_returnflag")
+    ok_cols = []
+    for i, (p, t) in enumerate(zip(_GK_PS, _GK_TAGS)):
+        target = F.col("n") * p
+        slack = F.col("n") * eps + 1
+        ok = (F.col(f"__lo{t}") <= target + slack) & (
+            F.col(f"__hi{t}") >= target - slack
+        )
+        ok_cols.append(ok.cast("int").alias(f"gk{t}_ok"))
+    return joined.select(
         "l_returnflag",
-        F.round(F.col("__q")[0], 2).alias("q25"),
-        F.round(F.col("__q")[1], 2).alias("q50"),
-        F.round(F.col("__q")[2], 2).alias("q75"),
-        F.round(F.col("__q")[3], 2).alias("q99"),
+        "n",
+        *[F.round(F.col("__ex")[i], 4).alias(f"ex{t}") for i, t in enumerate(_GK_TAGS)],
+        *ok_cols,
     )
+
+
+QUANTILE_SKETCH_SQL = """
+SELECT l_returnflag, COUNT(l_extendedprice) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS ex25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS ex50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS ex75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS ex99,
+       1 AS gk25_ok, 1 AS gk50_ok, 1 AS gk75_ok, 1 AS gk99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --- A14 grouped box-plot quartiles (ref: data_profiler.py:503-508 grouped) -
@@ -963,7 +1049,8 @@ RELATIONAL_QUERIES = {
     "user_running_value": (user_running_value, USER_RUNNING_SQL),
     "top3_orders_per_segment": (top3_orders_per_segment, TOP3_PER_SEGMENT_SQL),
     "distinct_counts_exact": (distinct_counts, DISTINCT_COUNTS_SQL),
-    "quantile_sketch": (quantile_sketch, None),
+    "quantile_sketch": (quantile_sketch, QUANTILE_SKETCH_SQL),
+    "hll_distinct": (hll_distinct, HLL_DISTINCT_SQL),
     "grouped_quantiles": (grouped_quantiles, GROUPED_QUANTILES_SQL),
     "props_json_extract": (props_json_extract, PROPS_JSON_SQL),
     "monthly_part_flow": (monthly_part_flow, MONTHLY_PART_FLOW_SQL),

@@ -334,6 +334,90 @@ FROM n_t
 """
 
 
+# --- merged per-doc feature sweep ------------------------------------------------
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_features(
+        T(spark, sf_dir, "documents"), "doc_id", "text", window=FP_WINDOW, stride=FP_STRIDE
+    )
+
+
+def _text_features_sql() -> str:
+    """One statement composing the lang/quality/token/fingerprint oracles
+    over a shared base CTE — mirrors textops.text_features' single
+    projection (doc_id is unique, so the USING joins are 1:1)."""
+    langs = list(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(tk, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS s_{lang}"
+        for lang in langs
+    )
+    pred_branches, score_branches = [], []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{other}" for other in langs[i + 1 :]]
+        cond = f"s_{lang} > 0"
+        if rest:
+            cond += f" AND s_{lang} >= greatest({', '.join(rest)})" if len(rest) > 1 else f" AND s_{lang} >= {rest[0]}"
+        pred_branches.append(f"WHEN {cond} THEN '{lang}'")
+        score_branches.append(f"WHEN {cond} THEN s_{lang}")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {_NORM} AS norm, {_TOKS} AS tk FROM documents
+), sc AS (
+  SELECT id,
+    CASE {' '.join(pred_branches)} ELSE 'und' END AS lang_pred,
+    CAST(CASE {' '.join(score_branches)} ELSE 0 END AS INT) AS score
+  FROM (SELECT id, {score_cols} FROM base)
+), feat AS (
+  SELECT id,
+    len(tk) AS n_tok,
+    length(norm) AS n_chars,
+    len(list_filter(tk, t -> list_contains({_SW_LIST}, t))) AS n_stop,
+    length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')) AS n_punct,
+    length(norm) - length(regexp_replace(norm, '[a-z]', '', 'g')) AS n_alpha
+  FROM base
+), ratio AS (
+  SELECT id, n_tok, n_chars,
+    (n_chars - (n_tok - 1)) / NULLIF(CAST(n_tok AS DOUBLE), 0.0) AS mean_token_len,
+    n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0) AS stop_ratio,
+    n_punct / NULLIF(CAST(n_chars AS DOUBLE), 0.0) AS punct_ratio,
+    n_alpha / NULLIF(CAST(n_chars AS DOUBLE), 0.0) AS alpha_ratio
+  FROM feat
+), q AS (
+  SELECT id,
+    CAST(n_tok AS INT) AS n_tokens,
+    CAST(n_chars AS INT) AS n_chars_norm,
+    ROUND(mean_token_len, 6) AS mean_token_len,
+    ROUND(stop_ratio, 6) AS stopword_ratio,
+    ROUND(punct_ratio, 6) AS punct_ratio,
+    ROUND(alpha_ratio, 6) AS alpha_ratio,
+    ROUND(
+      least(n_tok / 20.0, 1.0) * 0.25
+      + COALESCE(alpha_ratio, 0.0) * 0.35
+      + least(COALESCE(stop_ratio, 0.0) * 4.0, 1.0) * 0.25
+      + (1.0 - least(COALESCE(punct_ratio, 0.0) * 5.0, 1.0)) * 0.15, 6) AS quality_score
+  FROM ratio
+), tc AS (
+  SELECT id,
+    CAST(len(tk) AS INT) AS ws_tokens,
+    CAST(len(regexp_extract_all(norm, '{TOKEN_PATTERN}')) AS INT) AS bpe_tokens
+  FROM base
+), fp AS (
+  SELECT id,
+    list_min(list_transform(
+      range(1, greatest(length(norm) - {FP_WINDOW - 1}, 1) + 1, {FP_STRIDE}),
+      i -> md5(substr(norm, CAST(i AS INT), {FP_WINDOW})))) AS fingerprint
+  FROM base
+)
+SELECT id, sc.lang_pred, sc.score,
+       q.n_tokens, q.n_chars_norm, q.mean_token_len, q.stopword_ratio,
+       q.punct_ratio, q.alpha_ratio, q.quality_score,
+       tc.ws_tokens, tc.bpe_tokens, fp.fingerprint
+FROM sc JOIN q USING (id) JOIN tc USING (id) JOIN fp USING (id)
+"""
+
+
 # --- similarity search ------------------------------------------------------------
 
 # DuckDB fold mirroring functions/vectors.py (list_reduce folds left like
@@ -510,19 +594,16 @@ WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
 # newly added) come first; long-green unchanged entries and the rows-only
 # pytest-covered tail come last (see operators/corpus.py).
 TEXT_QUERIES = {
+    "text_features": (text_features, _text_features_sql()),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "simhash_near_pairs": (simhash_near_pairs, SIMHASH_PAIRS_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "dedup_lsh_verified": (dedup_lsh_verified, _lsh_verified_sql()),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_lsh_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "lang_id": (lang_id, _lang_id_sql()),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _ivf_topk_sql()),
     "ann_lsh_topk": (ann_lsh_topk, _lsh_topk_sql()),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
 }

@@ -214,8 +214,12 @@ def resize_media(media: DataFrame, target_h: int, target_w: int) -> DataFrame:
                     row["resized"] = enc(px, fmt)
                     row["out_height"] = int(px.shape[0])
                     row["out_width"] = int(px.shape[1])
-                except (ValueError, NotImplementedError) as e:
-                    row["resize_err"] = str(e)
+                except Exception as e:  # noqa: BLE001 — violation-row contract:
+                    # a production decoder/encoder can raise anything
+                    # (struct.error, OSError from PIL, IndexError on a
+                    # truncated array); any such failure must become a
+                    # resize_err row for that media item, not kill the job.
+                    row["resize_err"] = f"{type(e).__name__}: {e}"
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])

@@ -6,6 +6,11 @@ eligible, and engine-portable — every operator here has a line-for-line SQL
 oracle in the corpus. The reference's text surface stops at a regex scrub
 (transform_service.py:279-283); these extend the same columnar style to
 document analytics.
+
+Each operator is an expression-list builder over one shared base projection
+(id, __norm, __toks), so :func:`text_features` can emit ALL per-doc features
+in a single pass over the corpus — at 100 TB the difference between one scan
+and four.
 """
 
 from __future__ import annotations
@@ -30,48 +35,44 @@ EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def _base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared projection boundary: normalizer/tokenizer materialized ONCE.
+    Referencing them inside downstream array lambdas would re-inline the
+    regex per element (functions/text.py note); unused aliases are pruned
+    by Catalyst, so ops that need only one of the two pay for one."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("__norm"),
+        tokens(text_col).alias("__toks"),
+    )
+
+
 def _marker_score(toks: Column, markers: list[str]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang_pred, score): argmax of per-language stopword hit counts,
-    'und' when no marker hits. Deterministic tie-break by LANG_MARKERS
-    order via strict > comparison against earlier languages."""
-    # tokens materialized once behind a projection boundary — each marker
-    # score otherwise re-inlines the tokenizer (functions/text.py note).
-    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+def _lang_cols() -> list[Column]:
+    """(lang_pred, score): argmax of per-language stopword hit counts over
+    __toks, 'und' when no marker hits. Deterministic tie-break by
+    LANG_MARKERS order via strict > comparison against earlier languages."""
     toks = F.col("__toks")
-    scores = {lang: _marker_score(toks, m) for lang, m in LANG_MARKERS.items()}
-    langs = list(LANG_MARKERS)
     best = F.lit("und")
     best_score = F.lit(0)
-    for lang in langs:
-        s = scores[lang]
+    for lang, markers in LANG_MARKERS.items():
+        s = _marker_score(toks, markers)
         take = s > best_score
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_score = F.when(take, s).otherwise(best_score)
-    return base.select(
-        "id",
-        best.alias("lang_pred"),
-        best_score.cast("int").alias("score"),
-    )
+    return [best.alias("lang_pred"), best_score.cast("int").alias("score")]
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc quality features: token count, mean token length, stopword
-    ratio, punctuation ratio, alpha ratio, and a blended [0,1] score.
-
-    Mirrors the Describer's conditional-count style (data_profiler.py:541-562)
-    applied to text: every feature is one expression over the same row, so
-    the whole frame is a single projection — no shuffle at all.
-    """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        normalize_text(text_col).alias("__norm"),
-        tokens(text_col).alias("__toks"),
-    )
+def _quality_cols() -> list[Column]:
+    """Per-doc quality features over (__norm, __toks): token count, mean
+    token length, stopword ratio, punctuation ratio, alpha ratio, and a
+    blended [0,1] score. Mirrors the Describer's conditional-count style
+    (data_profiler.py:541-562) applied to text: every feature is one
+    expression over the same row — no shuffle at all."""
     norm = F.col("__norm")
     toks = F.col("__toks")
     n_tok = F.size(toks)
@@ -91,8 +92,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(F.coalesce(stop_ratio, F.lit(0.0)) * F.lit(4.0), F.lit(1.0)) * 0.25
         + (F.lit(1.0) - F.least(F.coalesce(punct_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))) * 0.15
     )
-    return base.select(
-        "id",
+    return [
         n_tok.cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars_norm"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
@@ -100,40 +100,65 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(score, 6).alias("quality_score"),
-    )
+    ]
 
 
-def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, ws_tokens, bpe_tokens): whitespace tokens and BPE-ish lexer
-    tokens (TOKEN_PATTERN matches over normalized text)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        normalize_text(text_col).alias("__norm"),
-        tokens(text_col).alias("__toks"),
-    )
-    return base.select(
-        "id",
+def _token_count_cols() -> list[Column]:
+    """(ws_tokens, bpe_tokens): whitespace tokens and BPE-ish lexer tokens
+    (TOKEN_PATTERN matches over normalized text)."""
+    return [
         F.size(F.col("__toks")).cast("int").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("__norm"), F.lit(TOKEN_PATTERN), 0)).cast("int").alias("bpe_tokens"),
-    )
+        F.size(F.regexp_extract_all(F.col("__norm"), F.lit(TOKEN_PATTERN), 0))
+        .cast("int")
+        .alias("bpe_tokens"),
+    ]
 
 
-def fingerprint(
-    df: DataFrame, id_col: str, text_col: str, window: int = 16, stride: int = 8
-) -> DataFrame:
-    """Winnowing-style document fingerprint: min md5 over strided character
-    windows of the normalized text (id, fingerprint). Robust to local edits
-    outside the minimal window, unlike a whole-doc hash."""
-    # normalized text materialized once: referencing the normalizer inside
-    # the per-window transform would re-run the regex per window.
-    base = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm"))
+def _fingerprint_col(window: int, stride: int) -> Column:
+    """Winnowing-style fingerprint: min md5 over strided character windows
+    of __norm. Robust to local edits outside the minimal window, unlike a
+    whole-doc hash."""
     norm = F.col("__norm")
     ln = F.length(norm)
     starts = F.sequence(
         F.lit(1), F.greatest(ln - F.lit(window - 1), F.lit(1)), F.lit(stride)
     )
     hashes = F.transform(starts, lambda i: F.md5(F.substring(norm, i, window)))
-    return base.select(
+    return F.array_min(hashes).alias("fingerprint")
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return _base(df, id_col, text_col).select("id", *_lang_cols())
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return _base(df, id_col, text_col).select("id", *_quality_cols())
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return _base(df, id_col, text_col).select("id", *_token_count_cols())
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16, stride: int = 8
+) -> DataFrame:
+    return _base(df, id_col, text_col).select("id", _fingerprint_col(window, stride))
+
+
+def text_features(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16, stride: int = 8
+) -> DataFrame:
+    """All per-doc text features — language ID, quality scores, token
+    counts, winnowing fingerprint — in ONE projection over one scan.
+
+    This is the production shape for a 100 TB corpus sweep: the four
+    features share the normalizer/tokenizer evaluation and the scan, where
+    running the four operators separately would read the corpus four times
+    (or force a cache of it)."""
+    return _base(df, id_col, text_col).select(
         "id",
-        F.array_min(hashes).alias("fingerprint"),
+        *_lang_cols(),
+        *_quality_cols(),
+        *_token_count_cols(),
+        _fingerprint_col(window, stride),
     )

@@ -31,6 +31,7 @@ import os
 import sys
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -298,8 +299,6 @@ class ValidationRun:
         # |checks|×|partitions| rows of metadata, and building it as a
         # crossJoin+left-join DAG costs more in planning than the data is
         # worth at any scale.
-        from concurrent.futures import ThreadPoolExecutor
-
         def job_violations():
             # write first (fills the cache), then count off the cache
             self.io.append(all_violations.select(tag, "*"), "violations")

@@ -113,14 +113,18 @@ def render_html_report(
     for heading, df in sections:
         parts.append(f"<h2>{html.escape(heading)}</h2>")
         cols = df.columns
-        n = df.count()
-        if n * max(len(cols), 1) >= cell_limit:
+        # ONE action: limit to just past the cell budget and apply the guard
+        # to what actually came back. The previous count()-then-collect()
+        # recomputed the frame twice and could collect more rows than
+        # counted on a nondeterministic input.
+        row_limit = cell_limit // max(len(cols), 1)
+        rows = df.limit(row_limit + 1).collect()
+        if len(rows) > row_limit:
             parts.append(
-                f"<p><em>skipped: {n} rows × {len(cols)} cols exceeds the "
-                f"{cell_limit}-cell report guard</em></p>"
+                f"<p><em>skipped: over {row_limit} rows × {len(cols)} cols "
+                f"exceeds the {cell_limit}-cell report guard</em></p>"
             )
             continue
-        rows = df.collect()
         if len(cols) == 2 and rows and isinstance(rows[0][1], (int, float)):
             parts.append(_bars_svg([r[0] for r in rows], [r[1] for r in rows]))
         parts.append(_table_html(cols, [list(r) for r in rows]))

@@ -20,12 +20,14 @@ an explicit sort per group (file source gives no order guarantee).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from data_profiler_spark.sources.tableio import ParquetTableIO, TableIO
 
 EVENTS_SCHEMA = (
     "event_id string, ts timestamp, user_id string, event_type string, "
@@ -65,15 +67,27 @@ def sessionize_stream(
     checkpoint_dir: str,
     gap_s: int = 1800,
     timeout_sec: float | None = None,
-) -> dict[str, Any]:
-    """Drain all pending event files; returns {user_id: (n_sessions,
-    n_events)} reflecting total state after this run."""
+    io: TableIO | None = None,
+    table: str = "sessions",
+) -> DataFrame:
+    """Drain all pending event files; each micro-batch's per-user session
+    state is UPSERTED into ``table`` through the TableIO seam (keyed by
+    user_id — update mode emits only users touched by the batch), and the
+    table is returned as a DataFrame.
+
+    No driver-side collect anywhere: r2 shipped a dict-accumulating
+    foreachBatch sink, which funnels every batch's per-user aggregate
+    through the driver — a driver-OOM at 10^9 users. The sink now writes
+    distributed; callers that want a small dict use :func:`sessions_dict`,
+    which is guarded. Replayed batches re-upsert the same rows —
+    idempotent, matching the engine's batch-id discipline
+    (stream_validate.py)."""
+    if io is None:
+        io = ParquetTableIO(os.path.join(checkpoint_dir, "_tables"))
     events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
-    updated: dict[str, Any] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():
-            updated[r["user_id"]] = (r["n_sessions"], r["n_events"])
+        io.upsert(batch_df, table, key="user_id")
 
     counts = events.groupBy("user_id").applyInPandasWithState(
         _make_fn(gap_s),
@@ -90,4 +104,18 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
-    return updated
+    return io.read(spark, table)
+
+
+def sessions_dict(sessions: DataFrame, max_rows: int = 100_000) -> dict[str, tuple]:
+    """{user_id: (n_sessions, n_events)} for metadata-sized session tables.
+    Bounded like sinks/report.py's cell guard: one limit(max_rows+1).collect()
+    (single action — no count-then-collect race) that refuses oversized
+    frames instead of flattening the driver."""
+    rows = sessions.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"session table exceeds {max_rows} rows; read it as a DataFrame "
+            "instead of collecting a dict"
+        )
+    return {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in rows}

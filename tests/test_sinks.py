@@ -58,5 +58,6 @@ def test_render_html_report_tables_svg_and_guard(spark, tmp_path):
     text = open(path, encoding="utf-8").read()
     assert "<h2>profile</h2>" in text and "812.5" in text and "null_rate" in text
     assert "<svg" in text and text.count("<rect") == 5  # histogram bars
-    assert "skipped: 200000 rows" in text  # reference's 100k-cell guard
+    assert "skipped: over 100000 rows" in text  # reference's 100k-cell guard,
+        # single limit+collect action (no count-then-collect recompute)
     assert "</html>" in text

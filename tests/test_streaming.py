@@ -82,7 +82,7 @@ def test_stream_detects_corruptions(spark, tmp_io, dirs):
 def test_stateful_sessionize_across_batches(spark, dirs):
     """A session spanning two micro-batches must be counted ONCE — the
     per-user GroupState carries last-event time across batches."""
-    from data_profiler_spark.streaming.sessionize import sessionize_stream
+    from data_profiler_spark.streaming.sessionize import sessionize_stream, sessions_dict
 
     in_dir, cp = dirs
 
@@ -108,7 +108,7 @@ def test_stateful_sessionize_across_batches(spark, dirs):
             ("e3", ts(0), "u2", "view", 1.0, "{}"),
         ]
     )
-    s1 = sessionize_stream(spark, in_dir, cp, gap_s=1800)
+    s1 = sessions_dict(sessionize_stream(spark, in_dir, cp, gap_s=1800))
     assert s1["u1"] == (1, 2) and s1["u2"] == (1, 1)
 
     # batch 2: u1 continues within the gap (NOT a new session) and later
@@ -120,9 +120,21 @@ def test_stateful_sessionize_across_batches(spark, dirs):
             ("e6", ts(2000), "u2", "view", 1.0, "{}"),
         ]
     )
-    s2 = sessionize_stream(spark, in_dir, cp, gap_s=1800)
+    sessions = sessionize_stream(spark, in_dir, cp, gap_s=1800)
+    s2 = sessions_dict(sessions)
     assert s2["u1"] == (2, 4)  # continued + one new session
     assert s2["u2"] == (2, 2)  # gap exceeded → second session
+
+    # the sink writes THROUGH the TableIO seam (no driver-side dict
+    # accumulation): the sessions table exists on disk and re-reads clean
+    import os
+
+    assert os.path.isdir(os.path.join(cp, "_tables", "sessions"))
+    # and the dict path is guarded, not unbounded
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds 1 rows"):
+        sessions_dict(sessions, max_rows=1)
 
 
 def test_stream_manifest_namespace_and_batch_idempotence(spark, tmp_io, dirs):
