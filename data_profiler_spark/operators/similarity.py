@@ -81,6 +81,73 @@ def hyperplane_bucket(
     )
 
 
+def multi_table_buckets(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (id, table_id, bucket): sign-pattern bucket under each
+    table's plane set, exploded from a single projection (one pass over the
+    vectors; the per-table buckets are computed side by side in codegen)."""
+    entries = []
+    for t, planes in enumerate(tables):
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bucket + bit
+        entries.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.cast("int").alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("__tb")
+    ).select(id_col, vec_col, F.col("__tb.table_id"), F.col("__tb.bucket"))
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """OR-amplified LSH top-k: a candidate collides with the query in ANY
+    of the L hash tables (recall 1-(1-p^b)^L vs a single table's p^b — the
+    standard construction; single-table sign-LSH measured 0.16 recall@10 on
+    the synthetic embeddings, see tests/test_ann_recall.py).
+
+    Scale shape mirrors dedup_minhash_lsh: ALL tables ride one equi-join
+    keyed (table_id, bucket) — table_id rides IN the join key, so L tables
+    cost one shuffle, not L. Candidate pairs surfaced by several tables are
+    deduped by a (query_id, vec_id) groupBy BEFORE the cosine scoring, so
+    each pair is scored once."""
+    cb = multi_table_buckets(corpus, tables, id_col, vec_col).withColumnsRenamed(
+        {id_col: "vec_id", vec_col: "__cvec"}
+    )
+    qb = multi_table_buckets(queries, tables, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", vec_col: "__qvec"}
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("__qvec").alias("__qvec"), F.first("__cvec").alias("__cvec"))
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,70 @@
+"""Recall@k of the approximate ANN paths against brute-force cosine.
+
+The r2 verdict's gap #4: ann_lsh_topk / ann_ivf_topk were oracle-green
+(their oracles mirror the bucketing) but nothing reported their recall
+against the EXACT top-k as a number — so a silent bucketing/probing
+regression could keep the oracle green while retrieval quality collapsed.
+Measuring it promptly caught exactly that: the r2 single-table 4-plane LSH
+had recall@10 = 0.16 (its 45/50 driver rows were row COUNT, not quality),
+which drove the r3 switch to OR-amplified multi-table LSH (0.88). This
+pins floors and prints the measured values (pytest -s shows them; the
+assertion message carries them on failure).
+"""
+
+from __future__ import annotations
+
+from data_profiler_spark.operators.corpus_text import (
+    ann_cosine_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _recall_at_k(exact, approx) -> float:
+    """|approx ∩ exact| / |exact| over (query_id, vec_id) pairs — computed
+    as a distributed semi-join, no driver-side set building."""
+    n_exact = exact.count()
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    return hits / n_exact
+
+
+def test_ann_recall_floors(spark):
+    """Measured recall on the sf0.01 embeddings (64-dim synthetic vectors
+    whose labels correlate only weakly with cosine neighborhoods, so IVF
+    recall ≈ the probed fraction of lists — the theoretical behavior for
+    near-uniformly spread neighbors; real embedding corpora cluster, which
+    is what makes small nprobe viable in production):
+
+        nprobe=2/10 lists → 0.38   nprobe=4 → 0.66   nprobe=6 → 0.84
+
+    The assertions pin both ends: the scale config (nprobe=2, what the
+    corpus entry ships) must not collapse below its measured band, and
+    widening the probe to 6 of 10 lists must buy ≥0.8 — i.e. the probing
+    knob actually controls recall."""
+    from pyspark.sql import functions as F
+
+    from data_profiler_spark.operators import similarity
+    from data_profiler_spark.operators.corpus_relational import T
+    from data_profiler_spark.operators.corpus_text import ANN_K, N_QUERIES
+
+    exact = ann_cosine_topk(spark, SF).cache()
+    r_ivf2 = _recall_at_k(exact, ann_ivf_topk(spark, SF))  # nprobe=2 entry
+    emb = T(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    wide = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", "label", k=ANN_K, nprobe=6
+    )
+    r_ivf6 = _recall_at_k(exact, wide)
+    r_lsh = _recall_at_k(exact, ann_lsh_topk(spark, SF))
+    print(
+        f"ANN recall@10 on sf0.01: ivf(nprobe=2)={r_ivf2:.3f} "
+        f"ivf(nprobe=6)={r_ivf6:.3f} lsh={r_lsh:.3f}"
+    )
+    assert r_ivf2 >= 0.3, f"IVF nprobe=2 recall collapsed: {r_ivf2:.3f} < 0.3"
+    assert r_ivf6 >= 0.8, f"IVF nprobe=6 recall regressed: {r_ivf6:.3f} < 0.8"
+    # OR-amplified LSH (6 tables × 3 planes) measured 0.88; the old single
+    # 4-plane table measured 0.16 — this floor is what caught that.
+    assert r_lsh >= 0.8, f"multi-table LSH recall@10 regressed: {r_lsh:.3f} < 0.8"
+    exact.unpersist()
