@@ -6,9 +6,13 @@ queries()         — one entry per implemented operator family from
                     SURVEY.md §2 plus the training-data-pipeline operators
                     (dedup / similarity / text) — see
                     data_profiler_spark/operators/corpus*.py.
-oracle_sql()      — matching DuckDB SQL for every SQL-expressible entry;
-                    sketch (HLL/GK), audio-decode and applyInPandas-KS
-                    entries are rows-only by design.
+oracle_sql()      — matching DuckDB SQL for every entry except
+                    audio_decode_stats (binary payload, no SQL analog —
+                    rows-only; PCM fidelity is pytest-verified at
+                    SNR ≥ 30 dB in tests/test_audio.py). The HLL/GK sketch
+                    entries are oracled since r3: exact counterpart values
+                    hash-match DuckDB and the sketch error bounds are
+                    verified in-plan (booleans pinned true by the oracle).
 """
 
 from __future__ import annotations
