@@ -75,6 +75,13 @@ def main() -> int:
         "violation sample, drift) after the run — sinks/report.py",
     )
     ap.add_argument(
+        "--xlsx-report",
+        default=None,
+        metavar="PATH",
+        help="write a multi-sheet .xlsx workbook (same sections as "
+        "--html-report) — sinks/excel.py, stdlib OOXML writer",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run a small throwaway validation first so the timed run measures "
@@ -200,6 +207,19 @@ def main() -> int:
             args.html_report,
             title="clips validation report",
             subtitle=f"snapshot {res.snapshot_id}, {res.rows} rows",
+        )
+
+    if args.xlsx_report:
+        from data_profiler_spark.sinks.excel import write_xlsx
+
+        write_xlsx(
+            [
+                ("verdicts", res.verdicts),
+                ("profile", res.profile),
+                ("violations", res.violations.limit(100)),
+            ]
+            + ([("drift", res.drift)] if res.drift is not None else []),
+            args.xlsx_report,
         )
 
     print(summarize(res), file=sys.stderr)

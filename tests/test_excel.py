@@ -1,0 +1,130 @@
+"""Excel source/sink (stdlib OOXML subset) — closes S3 + the xlsx half of
+S9 from SURVEY.md §2.1."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+
+from data_profiler_spark.sinks.excel import (
+    list_sheets,
+    read_xlsx,
+    read_xlsx_rows,
+    write_xlsx,
+)
+
+
+def test_multisheet_roundtrip(spark, tmp_path):
+    profile = spark.createDataFrame(
+        [("dur_ms", "mean", 812.5), ("dur_ms", "null_rate", 0.01)],
+        "column string, metric string, value double",
+    )
+    verdicts = spark.createDataFrame(
+        [("pk_unique", 0, True, 0), ("pk_unique", 1, False, 3)],
+        "check_name string, partition_id int, passed boolean, violation_count long",
+    )
+    path = write_xlsx(
+        [("profile", profile), ("verdicts", verdicts)], str(tmp_path / "report.xlsx")
+    )
+    assert list_sheets(path) == ["profile", "verdicts"]
+
+    hdr, rows = read_xlsx_rows(path, "profile")
+    assert hdr == ["column", "metric", "value"]
+    assert sorted(rows) == [["dur_ms", "mean", 812.5], ["dur_ms", "null_rate", 0.01]]
+
+    hdr2, rows2 = read_xlsx_rows(path, "verdicts")
+    assert hdr2 == ["check_name", "partition_id", "passed", "violation_count"]
+    assert ["pk_unique", 1, False, 3] in rows2
+
+    # S3 scan: worksheet → DataFrame with explicit schema, typed readback
+    df = read_xlsx(
+        spark, path, "verdicts",
+        "check_name string, partition_id int, passed boolean, violation_count long",
+    )
+    got = {(r["partition_id"]): (r["passed"], r["violation_count"]) for r in df.collect()}
+    assert got == {0: (True, 0), 1: (False, 3)}
+    # schema-less read is all-strings (the reference's dtype=str probe read)
+    probed = read_xlsx(spark, path, "verdicts")
+    assert [f.dataType.simpleString() for f in probed.schema.fields] == ["string"] * 4
+    assert {r["violation_count"] for r in probed.collect()} == {"0", "3"}
+
+
+def test_cell_guard_replaces_oversized_sheet(spark, tmp_path):
+    big = spark.range(200).selectExpr("id", "id * 2 as dbl")
+    path = write_xlsx([("big", big)], str(tmp_path / "guard.xlsx"), cell_limit=100)
+    hdr, rows = read_xlsx_rows(path, "big")
+    assert hdr == ["skipped"] and "workbook guard" in rows[0][0]
+
+
+def test_special_values_and_sheetname_sanitize(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a<b&c", None, 1.5), ("plain", "x", -2.0)],
+        "s string, maybe string, v double",
+    )
+    path = write_xlsx([("bad/name?*", df)], str(tmp_path / "special.xlsx"))
+    assert list_sheets(path) == ["bad_name__"]
+    hdr, rows = read_xlsx_rows(path)
+    assert ["a<b&c", None, 1.5] in rows  # XML-escaped and back, None stays empty
+
+    # the workbook is genuine OOXML: required parts present
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+    assert "[Content_Types].xml" in names and "xl/workbook.xml" in names
+
+
+def test_shared_strings_read_path(spark, tmp_path):
+    """Workbooks written by Excel/openpyxl use a sharedStrings table rather
+    than inline strings — hand-build one and read it back."""
+    path = str(tmp_path / "ss.xlsx")
+    main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg}">'
+            f'<Relationship Id="rId1" Type="{rel}/officeDocument" Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{main}" xmlns:r="{rel}">'
+            '<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg}">'
+            f'<Relationship Id="rId1" Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst xmlns="{main}" count="2" uniqueCount="2">'
+            "<si><t>name</t></si><si><t>alpha</t></si></sst>",
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{main}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    hdr, rows = read_xlsx_rows(path)
+    assert hdr == ["name"] and rows == [["alpha"]]
+
+
+def test_missing_sheet_and_empty_errors(spark, tmp_path):
+    df = spark.createDataFrame([("x",)], "a string")
+    path = write_xlsx([("only", df)], str(tmp_path / "one.xlsx"))
+    with pytest.raises(ValueError):
+        read_xlsx_rows(path, "nope")
+    assert os.path.exists(path)
