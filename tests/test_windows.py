@@ -129,3 +129,33 @@ def test_grouped_topk_matches_plain_window(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_grouped_cumsum_keeps_null_group_rows(spark):
+    """ADVICE r2 (medium): a NULL group value (e.g. a null shipdate's null
+    month) must still find its offsets row — the group join is null-safe
+    equality, so null-group rows flow through with their own running total
+    instead of being silently dropped."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 20),
+            (3, None, 5),
+            (4, None, 7),
+            (5, "b", 1),
+        ],
+        "id long, grp string, v long",
+    ).repartition(4)
+    out = distributed_cumsum(
+        df,
+        [F.asc("id")],
+        ["v"],
+        num_partitions=3,
+        include_total=True,
+        partition_by=["grp"],
+    )
+    got = {(r["grp"], r["id"]): (r["cum_v"], r["total_v"]) for r in out.collect()}
+    assert len(got) == 5  # the two null-group rows are NOT dropped
+    assert got[(None, 3)] == (5, 12) and got[(None, 4)] == (12, 12)
+    assert got[("a", 1)] == (10, 30) and got[("a", 2)] == (30, 30)
+    assert got[("b", 5)] == (1, 1)
