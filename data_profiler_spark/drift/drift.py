@@ -26,55 +26,71 @@ from pyspark.sql.window import Window
 EPS = 1e-6  # smoothing for empty buckets (standard PSI practice)
 
 
-def psi(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
-    """Population Stability Index per column.
+def psi(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Population Stability Index per column (and per extra group).
 
     PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i), p=current share, q=baseline
     share, ε-smoothed. Inputs are HISTOGRAM_SCHEMA frames with identical
     bucket edges (the current histogram must be built with the baseline's
     lo/hi — the engine persists those in the baseline snapshot).
 
+    ``group_cols`` scores each group independently (one PSI per (column,
+    *group)); BOTH frames must carry the columns — the windowed-drift
+    stream replicates its baseline per event-time window this way.
+
     Rule of thumb: <0.1 stable, 0.1–0.25 moderate, >0.25 drifted.
     """
-    cur = current_hist.groupBy("column", "bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy("column", "bucket").agg(F.sum("count").alias("b_cnt"))
-    joined = cur.join(base, ["column", "bucket"], "full_outer").fillna(
+    g = group_cols or []
+    keys = ["column", *g]
+    cur = current_hist.groupBy(*keys, "bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy(*keys, "bucket").agg(F.sum("count").alias("b_cnt"))
+    joined = cur.join(base, [*keys, "bucket"], "full_outer").fillna(
         0, subset=["c_cnt", "b_cnt"]
     )
-    tot = joined.groupBy("column").agg(
+    tot = joined.groupBy(*keys).agg(
         F.sum("c_cnt").alias("c_tot"), F.sum("b_cnt").alias("b_tot")
     )
-    j = joined.join(F.broadcast(tot), "column")
+    j = joined.join(F.broadcast(tot), keys)
     p = F.col("c_cnt") / F.col("c_tot") + EPS
     q = F.col("b_cnt") / F.col("b_tot") + EPS
     term = (p - q) * F.log(p / q)
-    return j.groupBy("column").agg(F.sum(term).alias("psi"))
+    return j.groupBy(*keys).agg(F.sum(term).alias("psi"))
 
 
-def ks_binned(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+def ks_binned(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """KS D-statistic approximated from binned CDFs.
 
     D = max_b |CDF_cur(b) − CDF_base(b)|, cumulative sums over bucket order.
     Error vs exact KS ≤ max bucket probability mass — acceptable for drift
-    gating, and it never touches row data. The per-column window is over ≤
-    nbins+2 rows, so the single-task window is irrelevant.
+    gating, and it never touches row data. The per-(column, *group) window
+    is over ≤ nbins+2 rows, so the single-task window is irrelevant.
     """
-    cur = current_hist.groupBy("column", "bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy("column", "bucket").agg(F.sum("count").alias("b_cnt"))
-    joined = cur.join(base, ["column", "bucket"], "full_outer").fillna(
+    g = group_cols or []
+    keys = ["column", *g]
+    cur = current_hist.groupBy(*keys, "bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy(*keys, "bucket").agg(F.sum("count").alias("b_cnt"))
+    joined = cur.join(base, [*keys, "bucket"], "full_outer").fillna(
         0, subset=["c_cnt", "b_cnt"]
     )
-    tot = joined.groupBy("column").agg(
+    tot = joined.groupBy(*keys).agg(
         F.sum("c_cnt").alias("c_tot"), F.sum("b_cnt").alias("b_tot")
     )
-    j = joined.join(F.broadcast(tot), "column")
-    w = Window.partitionBy("column").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    j = joined.join(F.broadcast(tot), keys)
+    w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cdf_diff = F.abs(
         F.sum("c_cnt").over(w) / F.col("c_tot") - F.sum("b_cnt").over(w) / F.col("b_tot")
     )
     return (
         j.withColumn("__d", cdf_diff)
-        .groupBy("column")
+        .groupBy(*keys)
         .agg(F.max("__d").alias("ks_d"))
     )
 

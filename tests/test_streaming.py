@@ -237,3 +237,59 @@ def test_windowed_profile_stream_with_watermark_drops_late_rows(spark, dirs):
     batch = windowed_profile(spark.read.schema(schema).parquet(in_dir), "ts", ["value"])
     rows = {str(r["window_start"]): r for r in batch.collect()}
     assert rows[str(t0)]["value_n"] == 2 and rows[str(t0 + m)]["value_n"] == 2
+
+
+def test_windowed_drift_scores_closed_windows(spark, dirs):
+    """§2.9 composition: every CLOSED event-time window is scored PSI/KS
+    against the persisted baseline histogram, distributed end-to-end (the
+    foreachBatch sink never collects). A same-distribution window passes;
+    a shifted window fails PSI."""
+    import datetime as dt
+    import time as _time
+
+    from data_profiler_spark.profiling import histogram
+    from data_profiler_spark.streaming.windowed_drift import windowed_drift_stream
+
+    in_dir, cp = dirs
+    schema = "event_id long, ts timestamp, value double"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # baseline: uniform-ish values in [0, 10)
+    base_df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 10).cast("double").alias("value")
+    )
+    baseline = histogram(base_df, "value", lo=0.0, hi=10.0, nbins=10)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def run():
+        return windowed_drift_stream(
+            spark, in_dir, schema, "ts", "value", baseline, cp,
+            lo=0.0, hi=10.0, nbins=10,
+            window_size="1 minute", watermark_delay="2 minutes",
+        )
+
+    # window 12:00 = same distribution; window 12:01 = shifted mass (all 9s);
+    # a 12:10 row advances the watermark past both
+    rows = [(i, t0 + dt.timedelta(seconds=i % 50), float(i % 10)) for i in range(100)]
+    rows += [(1000 + i, t0 + m, 9.0) for i in range(40)]
+    rows += [(2000, t0 + 10 * m, 5.0)]
+    land(rows)
+    out = {str(r["window_start"]): r for r in run().collect()}
+    assert str(t0) in out and str(t0 + m) in out
+    same, shifted = out[str(t0)], out[str(t0 + m)]
+    assert same["psi_passed"] and same["ks_passed"] and same["psi"] < 0.05
+    assert not shifted["psi_passed"] and shifted["psi"] > 1.0
+    assert not shifted["ks_passed"]
+
+    _time.sleep(1.1)
+    # second drain on the same checkpoint: the 12:10 window closes once a
+    # later row advances the watermark; already-scored windows do NOT re-emit
+    land([(3000, t0 + 20 * m, 5.0)])
+    out2 = run().collect()
+    starts = [str(r["window_start"]) for r in out2]
+    assert starts.count(str(t0)) == 1 and starts.count(str(t0 + m)) == 1
+    assert str(t0 + 10 * m) in starts
