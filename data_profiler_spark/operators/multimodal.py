@@ -134,7 +134,10 @@ def media_decode_stats(media: DataFrame, passthrough: list[str] | None = None) -
                     row["channels"] = int(px.shape[2]) if px.ndim == 3 else 1
                     row["mean_intensity"] = float(px.mean(dtype=np.float64))
                     row["std_intensity"] = float(px.std(dtype=np.float64))
-                except (ValueError, NotImplementedError) as e:
+                except Exception as e:  # noqa: BLE001 — violation-row contract:
+                    # a production decoder can raise OSError/struct.error/
+                    # IndexError on truncated payloads; all become a
+                    # decode_err row rather than failing the whole job.
                     row["decode_err"] = str(e)
                 for k, v in row.items():
                     out[k].append(v)

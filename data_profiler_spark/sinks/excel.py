@@ -74,7 +74,11 @@ def _cell_xml(ref: str, value) -> str:
         if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
             return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
+    # XML parsers normalize literal \r (and \r\n) to \n in text content;
+    # a character reference survives normalization, so carriage returns
+    # round-trip only as &#13; (same trick Excel itself uses).
+    text = escape(str(value)).replace("\r", "&#13;")
+    return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 
 
 def _sheet_xml(cols: list[str], rows: list[list]) -> str:
