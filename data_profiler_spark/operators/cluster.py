@@ -1,0 +1,152 @@
+"""Transitive-closure duplicate clustering: connected components over
+near-dup candidate pairs, and the dedup composition built on it.
+
+The pair-level operators in ``operators/dedup.py`` stop at verified pairs
+(id_a, id_b). Production dedup needs the *closure*: if A~B and B~C, all
+three are one duplicate cluster and a single canonical survives, even when
+A and C never collided in any LSH band. (Reference seed: the reference
+only ever dedups by exact group-by-first, helpers/data_directory.py:419-440
+— closure over a similarity graph has no analog there and is part of the
+training-data-pipeline mandate.)
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014). Each round is two rounds of pure equi-join + min-aggregate
+over the edge frame:
+
+- large-star: every node connects its strictly-larger neighbors to the
+  minimum of its closed neighborhood;
+- small-star: every node connects its not-larger neighbors (and itself) to
+  that minimum.
+
+The edge set monotonically contracts toward a star forest centered at each
+component's minimum id; the paper proves O(log^2 n) rounds (O(log n) in
+practice). At a fixpoint every edge IS (member, component_min).
+
+Scale design:
+- No all-pairs products anywhere: each half-round is groupBy(min) + one
+  equi-join on the node id, both map-side combinable / AQE skew-splittable.
+  High-degree hub nodes (a 10^9-copy boilerplate cluster) are exactly the
+  AQE skew-join case, and large-star handles them by construction — a hub's
+  neighbors re-attach to the minimum, splitting the star across rounds.
+- The driver loop materializes each round via ``localCheckpoint(eager)``:
+  lineage is truncated so the plan does not grow by two joins per round
+  (Catalyst analysis time would otherwise go quadratic), and each round
+  reads the previous round's materialized partitions, not the raw pairs.
+  On a real cluster with executor churn, set a reliable checkpoint dir and
+  swap localCheckpoint for checkpoint — the seam is one line.
+- Convergence is detected by a two-long fingerprint (count, bit_xor of
+  xxhash64(u, v)) — one tiny aggregate job per round, no driver-side edge
+  collection ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_ROUNDS_DEFAULT = 30
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) -> edges (v, m) for v in Γ(u), v > u, m = min(Γ(u) ∪ {u})."""
+    bi = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bi.groupBy("u").agg(F.min("v").alias("__mn"))
+    mins = mins.select("u", F.least("u", "__mn").alias("m"))
+    return (
+        bi.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges larger->smaller; for each u with smaller neighbors N,
+    m = min(N), emit (v, m) for v in (N ∪ {u}) \\ {m}."""
+    o = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    neigh = o.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfe = mins.select("u", F.col("m").alias("v"))
+    return neigh.union(selfe).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+    ).first()
+    return (row["n"], row["x"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = _MAX_ROUNDS_DEFAULT,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``; cluster_id is
+    the minimum node id of the connected component (deterministic).
+
+    Nodes not present in any pair do not appear — callers join back to the
+    full universe for singleton fill (``duplicate_clusters`` does).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = _fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(O(log^2 n) expected — raise max_rounds for adversarial graphs)"
+        )
+    # fixpoint => star forest: every edge is (member, component_min)
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full-corpus duplicate clustering: closure over candidate ``pairs``
+    plus singleton fill from ``docs``.
+
+    Output (id, cluster_id, cluster_size, is_canonical): every doc labeled
+    with its component's min id (its own id if it paired with nothing),
+    component size, and the keep/drop flag production dedup filters on.
+
+    The size/canonical tail is agg + equi-join on cluster_id (map-side
+    combinable; the giant near-dup cluster a web crawl always has is the
+    AQE skew case, never a window's single task).
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    ids = docs.select(F.col(id_col).alias("id"))
+    labeled = (
+        ids.join(cc, "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        )
+    )

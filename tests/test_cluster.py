@@ -1,0 +1,108 @@
+"""Connected-component clustering (operators/cluster.py) vs a pure-Python
+union-find ground truth, plus the duplicate_clusters composition."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_profiler_spark.operators.cluster import connected_components, duplicate_clusters
+
+
+def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_spark(spark, pairs: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    out = connected_components(df).collect()
+    return {r["id"]: r["cluster_id"] for r in out}
+
+
+def test_cc_chain_star_and_islands(spark):
+    # chain 1-2-3-4, star 10<-{11,12,13}, island pair (20,21), self-noise (30,30)
+    pairs = [(2, 1), (2, 3), (4, 3), (10, 11), (12, 10), (13, 10), (21, 20), (30, 30)]
+    got = _cc_spark(spark, pairs)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }  # 30 never appears: self-loop only => no edges => not a pair node
+
+
+def test_cc_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_single_giant_component(spark):
+    # ring of 64 nodes: worst diameter-per-edge shape for propagation
+    pairs = [(i, (i + 1) % 64) for i in range(64)]
+    got = _cc_spark(spark, pairs)
+    assert got == {i: 0 for i in range(64)}
+
+
+# the spark fixture is session-scoped, which hypothesis permits inside
+# @given (its health check only rejects function-scoped fixtures)
+@settings(max_examples=6, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_matches_union_find_property(spark, pairs):
+    pairs = [p for p in pairs if p[0] != p[1]]
+    if not pairs:
+        return
+    expected = _union_find_labels(pairs)
+    got = _cc_spark(spark, pairs)
+    assert got == expected
+
+
+def test_duplicate_clusters_singleton_fill_and_sizes(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id: long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a: long, id_b: long")
+    out = {
+        r["id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in duplicate_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, 1, 1),
+        1: (1, 3, 1),
+        2: (1, 3, 0),
+        3: (3, 1, 1),
+        4: (4, 1, 1),
+        5: (1, 3, 0),
+        6: (6, 2, 1),
+        7: (6, 2, 0),
+    }
+
+
+def test_duplicate_clusters_survivor_rate(spark):
+    # dedup contract: exactly one canonical per cluster
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(i, i + 10) for i in range(0, 40)], "id_a: long, id_b: long"
+    )
+    out = duplicate_clusters(docs, pairs)
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum("is_canonical").alias("canon"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cluster.filter(F.col("canon") != 1).count() == 0
+    assert out.count() == 50
