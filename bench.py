@@ -34,7 +34,10 @@ HEADLINE = [
     "user_running_value",
     "profile_column_stats",
     "verdict_grid",
-    "psi_drift",
+    # r3: psi_drift + ks_exact_drift merged into drift_scores (same two
+    # computations, one long-format frame) — expect ≈ r2's psi_drift plus
+    # the KS applyInPandas pass that used to run unbenchmarked.
+    "drift_scores",
     "dedup_minhash_lsh",
     "dedup_simhash",
     # r3: text_quality merged into text_features (lang+quality+tokens+
@@ -46,6 +49,21 @@ HEADLINE = [
     "part_material_flow",
     "hll_distinct",
     "quantile_sketch",
+    # r3 additions (new keys — excluded from the r2-compat subtotal below):
+    # transitive-closure dup clustering (iterative large-star/small-star,
+    # genuinely multi-round) and deterministic stratified sampling.
+    "dup_clusters",
+    "stratified_sample",
+]
+
+# keys present in BENCH_r02 — their sum is emitted as
+# total_headline_r2_compat_sec so round-over-round totals compare
+# like-for-like despite the r3 additions/renames above.
+_R2_COMPAT = [
+    "pricing_summary", "top_revenue_orders", "pareto_abc_parts",
+    "user_running_value", "profile_column_stats", "verdict_grid",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+    "part_material_flow", "hll_distinct", "quantile_sketch",
 ]
 
 
@@ -111,10 +129,13 @@ def main() -> int:
     timings["clips_validate"] = round(clips_wall, 3)
 
     total = round(sum(timings.values()), 3)
+    r2_compat = round(sum(timings[k] for k in _R2_COMPAT if k in timings)
+                      + timings["clips_validate"], 3)
     out = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
+        "total_headline_r2_compat_sec": r2_compat,
         "queries": timings,
         "sf": sf,
         "clips_n": clips_n,

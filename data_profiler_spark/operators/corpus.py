@@ -18,6 +18,15 @@ the window. Slots were reclaimed by merging, not dropping, coverage:
   (the engine's single violations-table contract)
 - quantile_sketch and hll_distinct graduated from rows-only to oracled
   (exact counterpart values hash-checked + sketch error bound pinned true)
+- drift_scores = psi_drift + ks_exact_drift (both computations unchanged,
+  union'd into the production drift table's long format)
+- hll_distinct absorbed distinct_counts_exact (one fused agg emits the
+  A7/A8 exact universes plus the A9 sketch bounds)
+
+The two reclaimed slots hold the round-3 additions: dup_clusters
+(large-star/small-star connected components over the LSH candidate graph,
+recursive-CTE oracle) and stratified_sample (deterministic keyed-coin
+sampling, exact-membership oracle).
 """
 
 from __future__ import annotations

@@ -395,13 +395,41 @@ FROM c GROUP BY event_type
 """
 
 
+def drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's drift report in one frame (r3 slot reclaim: psi_drift +
+    ks_exact_drift merged — both computations unchanged, union'd into the
+    long format the production drift table uses): one row per drift metric,
+    (metric, value, n). PSI rides the histogram-join pipeline, KS the exact
+    applyInPandas path vs the md5-sampled baseline — both engine paths stay
+    fully exercised and fully oracled."""
+    p = psi_drift(spark, sf_dir).select(
+        F.concat(F.lit("psi:"), F.col("column")).alias("metric"),
+        F.col("psi").alias("value"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    k = ks_exact_drift(spark, sf_dir).select(
+        F.concat(F.lit("ks:"), F.col("event_type")).alias("metric"),
+        F.col("ks_d").alias("value"),
+        F.col("n"),
+    )
+    return p.unionByName(k)
+
+
+DRIFT_SCORES_SQL = f"""
+SELECT 'psi:' || "column" AS metric, psi AS value, CAST(NULL AS BIGINT) AS n
+FROM ({PSI_DRIFT_SQL})
+UNION ALL
+SELECT 'ks:' || event_type AS metric, ks_d AS value, n
+FROM ({KS_EXACT_SQL})
+"""
+
+
 ENGINE_QUERIES = {
     "check_violations": (check_violations, CHECK_VIOLATIONS_SQL),
     "upsert_roundtrip": (upsert_roundtrip, UPSERT_ROUNDTRIP_SQL),
     "verdict_grid": (verdict_grid, VERDICT_GRID_SQL),
     "profile_column_stats": (profile_column_stats, _profile_sql()),
     "profile_outlier_counts": (profile_outlier_counts, _outlier_sql()),
-    "psi_drift": (psi_drift, PSI_DRIFT_SQL),
+    "drift_scores": (drift_scores, DRIFT_SCORES_SQL),
     "audio_decode_stats": (audio_decode_stats, None),
-    "ks_exact_drift": (ks_exact_drift, KS_EXACT_SQL),
 }

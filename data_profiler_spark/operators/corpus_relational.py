@@ -743,6 +743,11 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing/precision regression in the sketch flips the driver row red —
     the r2 gap where sketch accuracy was only pytest-visible is closed.
 
+    r3 slot reclaim: this entry also carries the A7/A8 exact distinct
+    universes (parts/supps/orders per group — formerly the separate
+    distinct_counts_exact entry, whose builder ``distinct_counts`` remains
+    the engine API); one fused agg computes all exact + approx counts.
+
     Scale note: the exact countDistinct here is the verification harness,
     not the production path — at 10^12 rows the engine uses the sketch alone
     (profiling/profile.py approx path); this entry is what certifies it."""
@@ -752,15 +757,19 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", 0.05).alias("__hp"),
+        F.approx_count_distinct("l_suppkey", 0.05).alias("__hs"),
         F.approx_count_distinct("l_orderkey", 0.05).alias("__ho"),
     )
     return agg.select(
         "l_returnflag",
         "exact_parts",
+        "exact_supps",
         "exact_orders",
         rel_err_ok(F.col("__hp"), F.col("exact_parts")).cast("int").alias("hll_parts_ok"),
+        rel_err_ok(F.col("__hs"), F.col("exact_supps")).cast("int").alias("hll_supps_ok"),
         rel_err_ok(F.col("__ho"), F.col("exact_orders")).cast("int").alias("hll_orders_ok"),
     )
 
@@ -768,8 +777,10 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_DISTINCT_SQL = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
        COUNT(DISTINCT l_orderkey) AS exact_orders,
        1 AS hll_parts_ok,
+       1 AS hll_supps_ok,
        1 AS hll_orders_ok
 FROM lineitem GROUP BY l_returnflag
 """
@@ -1048,7 +1059,6 @@ RELATIONAL_QUERIES = {
     "monthly_type_counts_filled": (monthly_type_counts_filled, MONTHLY_FILLED_SQL),
     "user_running_value": (user_running_value, USER_RUNNING_SQL),
     "top3_orders_per_segment": (top3_orders_per_segment, TOP3_PER_SEGMENT_SQL),
-    "distinct_counts_exact": (distinct_counts, DISTINCT_COUNTS_SQL),
     "quantile_sketch": (quantile_sketch, QUANTILE_SKETCH_SQL),
     "hll_distinct": (hll_distinct, HLL_DISTINCT_SQL),
     "grouped_quantiles": (grouped_quantiles, GROUPED_QUANTILES_SQL),

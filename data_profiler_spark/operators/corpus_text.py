@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_profiler_spark.functions.vectors import cosine_similarity
-from data_profiler_spark.operators import dedup, similarity, textops
+from data_profiler_spark.operators import cluster, dedup, sampling, similarity, textops
 from data_profiler_spark.operators.corpus_relational import T
 from data_profiler_spark.operators.textops import (
     EN_STOPWORDS,
@@ -95,6 +95,83 @@ def _minhash_lsh_sql() -> str:
     return f"""
 WITH {_minhash_core_ctes()}
 SELECT id_a, id_b FROM cand
+"""
+
+
+# --- transitive-closure duplicate clustering (operators/cluster.py) ---------
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (alternating large-star/small-star) over the
+    MinHash-LSH candidate graph, singleton-filled from the full corpus:
+    every doc gets (cluster_id = component min, cluster_size, is_canonical).
+    Same LSH params as dedup_minhash_lsh, so the two entries share their
+    candidate set and triangulate."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_BAND_ROWS,
+        shingle_k=MINHASH_K,
+    )
+    out = cluster.duplicate_clusters(docs, pairs, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
+def _dup_clusters_sql() -> str:
+    """Oracle: same candidate CTEs, closure via recursive reachability
+    (min reachable node == component min in an undirected graph), then the
+    identical singleton fill + size/canonical tail."""
+    return f"""
+WITH RECURSIVE {_minhash_core_ctes()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+reach(id, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+lab_full AS (
+  SELECT d.doc_id AS id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab_full GROUP BY cluster_id)
+SELECT f.id AS doc_id, f.cluster_id, s.cluster_size,
+       CAST(f.id = f.cluster_id AS INT) AS is_canonical
+FROM lab_full f JOIN sizes s USING (cluster_id)
+"""
+
+
+# --- deterministic stratified sampling (operators/sampling.py) --------------
+
+STRAT_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+STRAT_SEED = "corpus"
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-coin Bernoulli sample per language stratum (unlisted langs drop
+    at the 0.0 default). Membership is a pure function of (seed, doc_id), so
+    the oracle replays the identical md5 fold and must pick the identical
+    rows — the hash match verifies exact sample membership, not just rates."""
+    docs = T(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "lang", STRAT_FRACTIONS, key_col="doc_id", seed=STRAT_SEED
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(STRAT_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('{STRAT_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0
+      < CASE lang {case} ELSE 0.0 END
 """
 
 
@@ -613,6 +690,9 @@ WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
 # newly added) come first; long-green unchanged entries and the rows-only
 # pytest-covered tail come last (see operators/corpus.py).
 TEXT_QUERIES = {
+    # new this round first (driver-window defense, operators/corpus.py)
+    "dup_clusters": (dup_clusters, _dup_clusters_sql()),
+    "stratified_sample": (stratified_sample_docs, _stratified_sample_sql()),
     "text_features": (text_features, _text_features_sql()),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "embedding_centroids": (embedding_centroids, EMBEDDING_CENTROIDS_SQL),
