@@ -76,6 +76,41 @@ def wav_sample_rate(payload: bytes) -> int:
     return struct.unpack("<I", payload[24:28])[0]
 
 
+def encode_pcm16_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono encoder (public WAV spec) — the exact
+    inverse of ``decode_pcm16('pcm16_wav')``."""
+    data = (np.clip(pcm, -1.0, 1.0) * 32767.0).round().astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sr,
+        sr * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def encode_pcm16_raw(pcm: np.ndarray) -> bytes:
+    return (np.clip(pcm, -1.0, 1.0) * 32767.0).round().astype("<i2").tobytes()
+
+
+def encode_pcm16(pcm: np.ndarray, codec: str, sr: int) -> bytes:
+    if codec == "pcm16_wav":
+        return encode_pcm16_wav(pcm, sr)
+    if codec == "pcm16_raw":
+        return encode_pcm16_raw(pcm)
+    raise ValueError(f"unsupported codec {codec!r}")
+
+
 # Spectral stats window: 16384 samples ≈ 1s @16kHz. Bounded per-clip cost;
 # the dominant-bin estimate is unchanged for stationary tones.
 _SPEC_WINDOW = 16384

@@ -1,0 +1,187 @@
+"""Payload-producing PCM transform operators: resample, loudness
+normalization, silence trim — the audio half of a training-data pipeline
+(decode → conform → re-encode), built on the same zero-copy mapInArrow
+plumbing as ``decode.decode_stats``.
+
+The reference has no audio path (its closest analog is per-row pandas
+``apply``, transform_service.py:349-350); these operators are part of the
+beyond-reference training-data mandate. Each takes a clips-shaped frame
+(clip_id, bytes, sr_hz, dur_ms, codec) and returns the SAME shape plus a
+``transform_err`` column, so transforms compose with each other, with
+``decode_stats``, and with the whole validation pipeline unchanged.
+
+Scale notes (identical discipline to decode.py):
+- map-side only: payloads are decoded from memoryview slices of the Arrow
+  buffer, transformed in numpy, re-encoded per batch — the bytes column
+  never crosses a shuffle, and output size ∝ input size per partition, so
+  byte-proportional scan splits stay cost-balanced.
+- per-clip failures become ``transform_err`` rows (null payload), never job
+  failures — the violation-row contract every operator here follows.
+
+Kernel honesty: ``resample`` is linear interpolation — dependency-free and
+alias-prone above Nyquist/2 of the target rate (fine for speech-band
+conforming, e.g. 44.1k→16k voice; a polyphase FIR is the production
+upgrade and slots into the same kernel seam). ``loudness_normalize`` is
+RMS gain with a hard-clip guard (not ITU-R BS.1770 loudness — that needs
+K-weighting filters). Both honest baselines, both pytest-verified for
+fidelity (SNR ≥ 30 dB on tones, the BASELINE.json input_hint invariant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from data_profiler_spark.audio.decode import (
+    _binary_slices,
+    decode_pcm16,
+    encode_pcm16,
+)
+
+# kernel: (pcm float32 in [-1,1], sr) -> (pcm', sr')
+Kernel = Callable[[np.ndarray, int], tuple[np.ndarray, int]]
+
+
+def resample_kernel(target_sr: int) -> Kernel:
+    """Linear-interpolation resampler (see module docstring for the
+    aliasing caveat). Output length = round(n * target/src)."""
+    if target_sr <= 0:
+        raise ValueError("target_sr must be positive")
+
+    def k(x: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        if sr == target_sr or len(x) == 0:
+            return x, target_sr
+        n_out = max(1, int(round(len(x) * target_sr / sr)))
+        # sample positions in source index space; endpoint-aligned so the
+        # first/last samples map exactly (np.interp clamps at the edges)
+        pos = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+        return np.interp(pos, np.arange(len(x), dtype=np.float64), x).astype(
+            np.float32
+        ), target_sr
+
+    return k
+
+
+def loudness_kernel(target_rms_db: float = -20.0) -> Kernel:
+    """Scale to a target RMS level (dBFS); hard-clips to [-1, 1] after the
+    gain (clip_ratio in decode_stats makes over-gain visible downstream)."""
+    target = 10.0 ** (target_rms_db / 20.0)
+
+    def k(x: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        if len(x) == 0:
+            return x, sr
+        rms = float(np.sqrt(np.dot(x, x) / len(x)))
+        if rms <= 0.0:
+            return x, sr  # digital silence: no gain can reach the target
+        return np.clip(x * (target / rms), -1.0, 1.0).astype(np.float32), sr
+
+    return k
+
+
+def trim_silence_kernel(threshold_db: float = -40.0, frame_ms: int = 20) -> Kernel:
+    """Drop leading/trailing frames whose RMS is below ``threshold_db``.
+    All-silent clips collapse to one frame (never to zero samples — a
+    zero-length payload would be indistinguishable from a decode error)."""
+    thresh = 10.0 ** (threshold_db / 20.0)
+
+    def k(x: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        n = len(x)
+        frame = max(1, int(sr * frame_ms / 1000))
+        if n <= frame:
+            return x, sr
+        n_frames = n // frame
+        head = x[: n_frames * frame].reshape(n_frames, frame).astype(np.float64)
+        rms = np.sqrt(np.mean(head * head, axis=1))
+        loud = np.flatnonzero(rms >= thresh)
+        if len(loud) == 0:
+            return x[:frame], sr
+        lo = int(loud[0]) * frame
+        hi = min(n, (int(loud[-1]) + 1) * frame)
+        return x[lo:hi], sr
+
+    return k
+
+
+def transform_clips(
+    clips: DataFrame,
+    kernel: Kernel,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Apply ``kernel`` to every clip: decode (zero-copy) → kernel →
+    re-encode in the clip's own codec. Output schema: (clip_id, bytes,
+    sr_hz, dur_ms, codec, transform_err) + passthrough; dur_ms is
+    recomputed from the transformed length, err rows carry null bytes.
+    """
+    passthrough = [
+        c
+        for c in (passthrough or [])
+        if c not in {"clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transform_err"}
+    ]
+    in_fields = {f.name: f for f in clips.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("transform_err", T.StringType()),
+        ]
+        + [in_fields[c] for c in passthrough]
+    )
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
+            codecs = rb.column(idx["codec"]).to_pylist()
+            srs = rb.column(idx["sr_hz"]).to_pylist()
+            payloads: list[bytes | None] = []
+            out_sr: list[int | None] = []
+            out_ms: list[int | None] = []
+            errs: list[str | None] = []
+            for i, payload in enumerate(_binary_slices(rb.column(idx["bytes"]))):
+                try:
+                    sr = int(srs[i]) if srs[i] and srs[i] > 0 else 16000
+                    x = decode_pcm16(payload, codecs[i])
+                    y, sr2 = kernel(x, sr)
+                    payloads.append(encode_pcm16(y, codecs[i], sr2))
+                    out_sr.append(sr2)
+                    out_ms.append(int(round(1000.0 * len(y) / sr2)))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — violation-row contract
+                    payloads.append(None)
+                    out_sr.append(None)
+                    out_ms.append(None)
+                    errs.append(str(e))
+            arrays = [
+                rb.column(idx["clip_id"]),
+                pa.array(payloads, type=pa.binary()),
+                pa.array(out_sr, type=pa.int32()),
+                pa.array(out_ms, type=pa.int32()),
+                rb.column(idx["codec"]),
+                pa.array(errs, type=pa.string()),
+            ] + [rb.column(idx[c]) for c in passthrough]
+            yield pa.RecordBatch.from_arrays(arrays, names=[f.name for f in out_schema.fields])
+
+    cols = list(dict.fromkeys(["clip_id", "bytes", "sr_hz", "codec"] + passthrough))
+    return clips.select(*cols).mapInArrow(op, schema=out_schema)
+
+
+def resample(clips: DataFrame, target_sr: int, **kw) -> DataFrame:
+    return transform_clips(clips, resample_kernel(target_sr), **kw)
+
+
+def loudness_normalize(clips: DataFrame, target_rms_db: float = -20.0, **kw) -> DataFrame:
+    return transform_clips(clips, loudness_kernel(target_rms_db), **kw)
+
+
+def trim_silence(
+    clips: DataFrame, threshold_db: float = -40.0, frame_ms: int = 20, **kw
+) -> DataFrame:
+    return transform_clips(clips, trim_silence_kernel(threshold_db, frame_ms), **kw)

@@ -14,7 +14,6 @@ still 90/10 skewed to exercise skew handling.
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -89,30 +88,13 @@ def clip_transcript(seed: int, i: int, n_tokens: int) -> str:
     return " ".join(_VOCAB[j] for j in rng.integers(0, len(_VOCAB), size=n_tokens))
 
 
-def encode_pcm16_wav(pcm: np.ndarray, sr: int) -> bytes:
-    """Minimal RIFF/WAVE PCM16 mono encoder (public WAV spec)."""
-    data = (np.clip(pcm, -1.0, 1.0) * 32767.0).round().astype("<i2").tobytes()
-    hdr = struct.pack(
-        "<4sI4s4sIHHIIHH4sI",
-        b"RIFF",
-        36 + len(data),
-        b"WAVE",
-        b"fmt ",
-        16,
-        1,  # PCM
-        1,  # mono
-        sr,
-        sr * 2,
-        2,
-        16,
-        b"data",
-        len(data),
-    )
-    return hdr + data
-
-
-def encode_pcm16_raw(pcm: np.ndarray) -> bytes:
-    return (np.clip(pcm, -1.0, 1.0) * 32767.0).round().astype("<i2").tobytes()
+# PCM16 encoders live with their decoders in audio/decode.py (r3: the
+# transform operators need them in production, not just fixtures); the
+# names stay importable from here for existing callers.
+from data_profiler_spark.audio.decode import (  # noqa: E402
+    encode_pcm16_raw,
+    encode_pcm16_wav,
+)
 
 
 def _hits(c_every: int, i: int) -> bool:

@@ -1,0 +1,122 @@
+"""PCM transform operators (audio/transform.py): fidelity (SNR >= 30 dB on
+tones — the BASELINE.json input_hint invariant), level/trim semantics, the
+violation-row contract, and composition with decode_stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from data_profiler_spark.audio.decode import decode_pcm16, decode_stats, encode_pcm16_wav
+from data_profiler_spark.audio.transform import (
+    loudness_kernel,
+    loudness_normalize,
+    resample,
+    resample_kernel,
+    trim_silence,
+    trim_silence_kernel,
+)
+
+
+def _tone(freq: float, sr: int, secs: float, amp: float = 0.5) -> np.ndarray:
+    t = np.arange(int(sr * secs), dtype=np.float64) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _snr_db(sig: np.ndarray, est: np.ndarray) -> float:
+    n = min(len(sig), len(est))
+    err = sig[:n].astype(np.float64) - est[:n].astype(np.float64)
+    p_sig = float(np.mean(sig[:n].astype(np.float64) ** 2))
+    p_err = float(np.mean(err**2))
+    return 10.0 * np.log10(p_sig / p_err) if p_err > 0 else float("inf")
+
+
+def _clips_df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"])
+    return spark.createDataFrame(
+        pdf, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+
+
+def test_resample_kernel_tone_fidelity():
+    # 440 Hz is far below the 4 kHz target Nyquist — linear interp must
+    # reproduce the analytically generated target-rate tone at >= 30 dB
+    x = _tone(440.0, 16000, 0.5)
+    y, sr2 = resample_kernel(8000)(x, 16000)
+    assert sr2 == 8000
+    assert abs(len(y) - 4000) <= 1
+    ref = _tone(440.0, 8000, 0.5)
+    assert _snr_db(ref, y) >= 30.0
+
+
+def test_resample_operator_roundtrip(spark):
+    x = _tone(440.0, 16000, 0.25)
+    df = _clips_df(spark, [("c1", encode_pcm16_wav(x, 16000), 16000, 250, "pcm16_wav")])
+    out = resample(df, 8000).collect()[0]
+    assert out["transform_err"] is None
+    assert out["sr_hz"] == 8000
+    assert abs(out["dur_ms"] - 250) <= 1
+    y = decode_pcm16(out["bytes"], "pcm16_wav")
+    assert _snr_db(_tone(440.0, 8000, 0.25), y) >= 30.0
+
+
+def test_loudness_normalize_hits_target(spark):
+    quiet = _tone(300.0, 16000, 0.2, amp=0.05)
+    loud = _tone(300.0, 16000, 0.2, amp=0.9)
+    df = _clips_df(
+        spark,
+        [
+            ("q", encode_pcm16_wav(quiet, 16000), 16000, 200, "pcm16_wav"),
+            ("l", encode_pcm16_wav(loud, 16000), 16000, 200, "pcm16_wav"),
+        ],
+    )
+    rows = {r["clip_id"]: r for r in loudness_normalize(df, target_rms_db=-20.0).collect()}
+    for cid in ("q", "l"):
+        y = decode_pcm16(rows[cid]["bytes"], "pcm16_wav")
+        rms_db = 20.0 * np.log10(np.sqrt(np.mean(y.astype(np.float64) ** 2)))
+        assert abs(rms_db - (-20.0)) < 0.5
+        assert float(np.abs(y).max()) <= 1.0
+
+
+def test_loudness_kernel_silence_passthrough():
+    x = np.zeros(1000, dtype=np.float32)
+    y, _ = loudness_kernel(-20.0)(x, 16000)
+    assert np.array_equal(x, y)  # no gain can lift digital silence
+
+
+def test_trim_silence_removes_padding(spark):
+    sr = 16000
+    pad = np.zeros(int(0.1 * sr), dtype=np.float32)
+    tone = _tone(440.0, sr, 0.3)
+    x = np.concatenate([pad, tone, pad])
+    df = _clips_df(spark, [("c", encode_pcm16_wav(x, sr), sr, 500, "pcm16_wav")])
+    out = trim_silence(df, threshold_db=-40.0, frame_ms=20).collect()[0]
+    assert out["transform_err"] is None
+    # 300 ms of tone survives, frame-quantized (+- one 20 ms frame per side)
+    assert 260 <= out["dur_ms"] <= 340
+    y = decode_pcm16(out["bytes"], "pcm16_wav")
+    assert float(np.sqrt(np.mean(y.astype(np.float64) ** 2))) > 0.2
+
+
+def test_trim_all_silence_keeps_one_frame():
+    x = np.zeros(16000, dtype=np.float32)
+    y, _ = trim_silence_kernel(-40.0, 20)(x, 16000)
+    assert len(y) == 320  # one 20 ms frame, never empty
+
+
+def test_malformed_payload_becomes_err_row(spark):
+    df = _clips_df(spark, [("bad", b"not a wav", 16000, 100, "pcm16_wav")])
+    out = resample(df, 8000).collect()[0]
+    assert out["bytes"] is None
+    assert out["transform_err"] is not None
+
+
+def test_composes_with_decode_stats(spark):
+    x = _tone(1000.0, 44100, 0.2, amp=0.4)
+    df = _clips_df(spark, [("c", encode_pcm16_wav(x, 44100), 44100, 200, "pcm16_wav")])
+    conformed = resample(df, 16000)
+    stats = decode_stats(conformed).collect()[0]
+    assert stats["decode_ok"]
+    assert abs(stats["decoded_ms"] - 200.0) < 2.0
+    # RMS of a sine at amp 0.4 is 0.4/sqrt(2) ~= 0.283, preserved by resample
+    assert abs(stats["rms"] - 0.283) < 0.01
