@@ -293,3 +293,61 @@ def test_windowed_drift_scores_closed_windows(spark, dirs):
     starts = [str(r["window_start"]) for r in out2]
     assert starts.count(str(t0)) == 1 and starts.count(str(t0 + m)) == 1
     assert str(t0 + 10 * m) in starts
+
+
+def test_stream_dedup_drops_rearrivals_across_batches(spark, dirs):
+    """dedup_doc_stream: a re-arrival of already-seen content in a LATER
+    micro-batch run is dropped (state survives via the checkpoint); novel
+    content passes. Fingerprint matches the batch exact-dedup definition."""
+    import pandas as pd
+
+    from data_profiler_spark.streaming import dedup_doc_stream
+
+    in_dir, cp = dirs
+    out_dir = cp + "_out"
+    schema = "doc_id string, text string, event_time timestamp"
+
+    def land(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "event_time"])
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+        spark.createDataFrame(pdf, schema).write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        deduped = dedup_doc_stream(stream, watermark="1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(
+        [
+            ("a", "The  QUICK brown fox", "2026-01-01 10:00:00"),
+            ("b", "something else", "2026-01-01 10:00:10"),
+            # same-batch dup of a (normalization: case + whitespace folded)
+            ("a2", "the quick BROWN fox", "2026-01-01 10:00:20"),
+        ]
+    )
+    drain()
+    land(
+        [
+            ("a3", "the quick brown fox", "2026-01-01 10:05:00"),  # cross-batch dup
+            ("c", "genuinely new content", "2026-01-01 10:05:10"),
+        ]
+    )
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert "b" in ids and "c" in ids
+    assert "a3" not in ids  # cross-batch re-arrival dropped
+    assert len({"a", "a2"} & ids) == 1  # same-batch dup collapsed
+    # fingerprint agrees with batch exact dedup (md5 of normalized text)
+    fps = got.filter(F.col("doc_id") == "b").select("fingerprint").collect()
+    import hashlib
+
+    assert fps[0]["fingerprint"] == hashlib.md5(b"something else").hexdigest()
