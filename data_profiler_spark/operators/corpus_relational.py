@@ -226,9 +226,16 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a global Window.orderBy, which would funnel every part through one
     task at 10^9-part scale."""
     li = T(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("lines"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("units_dec"),
+    # pin the tiny per-part aggregate: repartitionByRange executes its child
+    # TWICE (once for boundary sampling, once for the real exchange), so an
+    # unpinned base re-runs the full lineitem agg inside the cumsum — the
+    # residual half of the r2 pareto regression (the other half was the
+    # pickled offsets frame, fixed via local_frame).
+    per_part = pin_cache(
+        li.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("lines"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("units_dec"),
+        )
     )
     cum = distributed_cumsum(
         per_part,
