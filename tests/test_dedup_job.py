@@ -1,0 +1,92 @@
+"""jobs/dedup_docs.py contract: full pipeline (exact ∪ LSH-verified pairs →
+connected components → keep-list + report) over a small corpus with planted
+duplicate structure."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs_dir(spark):
+    d = tempfile.mkdtemp(prefix="dps_dedup_job_")
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (0, base),
+        (1, base.upper()),              # exact dup of 0 (normalization)
+        (2, base + " extra tail"),      # near dup of 0 (high shingle overlap)
+        # long shared prefix, one differing tail token => Jaccard ~0.93:
+        # high enough that the 4 LSH bands (8 hashes, 2 rows) cannot all
+        # deterministically miss (p_band = J^2 ~ 0.87 each)
+        (3, "completely different content about spark query engines and the "
+            "catalyst optimizer with adaptive execution on one"),
+        (4, "completely different content about spark query engines and the "
+            "catalyst optimizer with adaptive execution on two"),  # near dup of 3
+        (5, "a lone unique document with its own words entirely"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf, "doc_id long, text string").write.parquet(f"{d}/docs")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_job_end_to_end(spark, docs_dir, monkeypatch, capsys):
+    from jobs import dedup_docs
+
+    out = f"{docs_dir}/out"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "dedup_docs.py",
+            "--input", f"{docs_dir}/docs",
+            "--output", out,
+            "--threshold", "0.4",
+        ],
+    )
+    assert dedup_docs.main() == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs"] == 6
+    assert report["exact_pairs"] == 1  # 0~1
+
+    clusters = spark.read.parquet(f"{out}/clusters")
+    got = {r["id"]: r for r in clusters.collect()}
+    # 0,1 exact; 2 near-dup of 0 => one cluster rooted at 0
+    assert got[0]["cluster_id"] == got[1]["cluster_id"] == got[2]["cluster_id"] == 0
+    assert got[0]["cluster_size"] == 3
+    # 3,4 near dups; 5 singleton
+    assert got[3]["cluster_id"] == got[4]["cluster_id"] == 3
+    assert got[5]["cluster_id"] == 5 and got[5]["cluster_size"] == 1
+    # keep-list = exactly the canonical (min-id) member of each cluster
+    keep = {r["doc_id"] for r in spark.read.parquet(f"{out}/keep").collect()}
+    assert keep == {0, 3, 5}
+    assert clusters.filter(F.col("is_canonical") == 1).count() == 3
+    assert report["clusters"] == 3 and report["dups_dropped"] == 3
+
+
+def test_dedup_job_no_dups_is_identity(spark, docs_dir, monkeypatch, capsys):
+    from jobs import dedup_docs
+
+    d = tempfile.mkdtemp(prefix="dps_dedup_uniq_")
+    try:
+        rows = [(i, f"unique document number {i} with distinct vocabulary set {i*7}") for i in range(10)]
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+        ).write.parquet(f"{d}/docs")
+        monkeypatch.setattr(
+            sys, "argv",
+            ["dedup_docs.py", "--input", f"{d}/docs", "--output", f"{d}/out"],
+        )
+        assert dedup_docs.main() == 0
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["dups_dropped"] == 0
+        assert spark.read.parquet(f"{d}/out/keep").count() == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
