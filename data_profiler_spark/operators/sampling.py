@@ -77,3 +77,32 @@ def stratified_sample(
         F.col("__frac"), F.lit(float(default))
     )
     return joined.filter(keep).drop("__stratum", "__frac")
+
+
+def stratified_take(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — a deterministic
+    "reservoir": rows are ranked by the keyed coin (uniform, reproducible)
+    and the top k per stratum survive, via the salted two-phase
+    ``grouped_topk`` (no single-task-per-stratum window, so a 10^11-row
+    language stratum is fine).
+
+    Nested like the Bernoulli variant: the k'-take (k' < k) of a stratum is
+    a strict subset of its k-take, because the coin order is fixed.
+    """
+    from data_profiler_spark.functions.topk import grouped_topk
+
+    ranked = df.withColumn("__u", sample_uniform(F.col(key_col), seed=seed))
+    out = grouped_topk(
+        ranked,
+        [stratum_col],
+        [F.asc("__u"), F.asc(key_col)],
+        k=k,
+        salt_col=key_col,
+    )
+    return out.drop("__u", "rank")

@@ -79,3 +79,26 @@ def test_coin_matches_duckdb(spark):
         ).fetchall()
     ]
     assert kept == oracle
+
+
+def test_stratified_take_exact_k_and_nested(spark):
+    from data_profiler_spark.operators.sampling import stratified_take
+
+    df = _docs(spark)  # ~667 per lang
+    out = stratified_take(df, "lang", 50, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 50, "de": 50, "fr": 50}
+    # small stratum: takes everything
+    tiny = df.filter((F.col("lang") != "en") | (F.col("doc_id") < 30))
+    t = stratified_take(tiny, "lang", 50, "doc_id")
+    assert t.filter(F.col("lang") == "en").count() == 10  # ids 0,3,...,27
+    # nested: the 20-take is a strict subset of the 50-take, per stratum
+    k20 = {r["doc_id"] for r in stratified_take(df, "lang", 20, "doc_id").collect()}
+    k50 = {r["doc_id"] for r in out.collect()}
+    assert k20 < k50
+    # deterministic across repartitionings
+    again = {
+        r["doc_id"]
+        for r in stratified_take(df.repartition(17), "lang", 50, "doc_id").collect()
+    }
+    assert again == k50
