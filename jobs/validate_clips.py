@@ -82,6 +82,17 @@ def main() -> int:
         "--html-report) — sinks/excel.py, stdlib OOXML writer",
     )
     ap.add_argument(
+        "--conform-sr",
+        type=int,
+        default=None,
+        metavar="HZ",
+        help="resample every clip to HZ before validation (audio/transform "
+        "linear-interp kernel, map-side, payload never shuffled); clips "
+        "that fail to decode conform to null payloads, which the "
+        "audio_decodable check then flags — conform errors surface as "
+        "verdicts, not job failures",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="run a small throwaway validation first so the timed run measures "
@@ -119,6 +130,17 @@ def main() -> int:
             else fixtures.CLEAN
         )
         clips = fixtures.generate_clips(spark, args.n, seed=args.seed, corruptions=corr)
+
+    if args.conform_sr:
+        from data_profiler_spark.audio.transform import resample
+
+        extra = [
+            c for c in clips.columns
+            if c not in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+        ]
+        clips = resample(clips, args.conform_sr, passthrough=extra).drop(
+            "transform_err"
+        )
 
     if args.write_input:
         clips.write.mode("overwrite").parquet(f"{args.write_input}/clips")
