@@ -169,7 +169,7 @@ def _stratified_sample_sql() -> str:
     )
     return f"""
 SELECT doc_id, lang, source FROM documents
-WHERE ('0x' || substr(md5('{STRAT_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+WHERE ('0x' || substr(md5('{STRAT_SEED}|' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 15))::BIGINT
       / 1152921504606846976.0
       < CASE lang {case} ELSE 0.0 END
 """

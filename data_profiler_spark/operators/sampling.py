@@ -36,8 +36,18 @@ _DENOM = float(1 << 60)  # portable_hash64 folds 15 hex chars = 60 bits
 
 
 def sample_uniform(col, seed: str = "sample") -> F.Column:
-    """u(key) in [0, 1): the keyed coin as a reusable column expression."""
-    return portable_hash64(col, seed=seed) / F.lit(_DENOM)
+    """u(key) in [0, 1): the keyed coin as a reusable column expression.
+
+    Total over null keys too: a NULL key hashes as the empty string
+    (otherwise the coin itself is NULL — Bernoulli would silently drop the
+    row while an ORDER BY would sort it first, two different behaviors for
+    the same bad input). All-null keys share one coin value; a real primary
+    key never has nulls, and the pk_not_null check is where that's caught.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return portable_hash64(
+        F.coalesce(c.cast("string"), F.lit("")), seed=seed
+    ) / F.lit(_DENOM)
 
 
 def stratified_sample(

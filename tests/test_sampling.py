@@ -102,3 +102,17 @@ def test_stratified_take_exact_k_and_nested(spark):
         for r in stratified_take(df.repartition(17), "lang", 50, "doc_id").collect()
     }
     assert again == k50
+
+
+def test_null_key_total_coin(spark):
+    """NULL keys get a deterministic coin (empty-string hash), so Bernoulli
+    and exact-k treat them identically instead of drop-vs-sort-first."""
+    from data_profiler_spark.operators.sampling import stratified_take
+
+    df = spark.createDataFrame(
+        [(None, "en"), (1, "en"), (2, "en"), (3, "en")], "doc_id: long, lang: string"
+    )
+    full = stratified_sample(df, "lang", {"en": 1.0}, "doc_id")
+    assert full.count() == 4  # fraction 1.0 keeps everything, null key included
+    t = stratified_take(df, "lang", 4, "doc_id")
+    assert t.count() == 4
