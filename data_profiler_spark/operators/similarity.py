@@ -216,6 +216,26 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_dup_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-side duplicate clustering: the hyperplane-bucketed near-dup
+    pair join above, closed transitively by ``cluster.duplicate_clusters``
+    (alternating large-star/small-star) and singleton-filled — so a chain
+    A≈B≈C collapses to ONE cluster even when cos(A, C) < threshold. Output
+    (id, cluster_id, cluster_size, is_canonical), same contract as the
+    text-side ``dup_clusters`` corpus entry."""
+    from data_profiler_spark.operators.cluster import duplicate_clusters
+
+    pairs = embedding_neardup_pairs(corpus, id_col, vec_col, threshold, planes)
+    ids = corpus.select(F.col(id_col))
+    return duplicate_clusters(ids, pairs, id_col=id_col)
+
+
 def _centroid_vectors(frame: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """(label, __centvec): per-label mean vector in array form — the long
     format of ``centroids()`` re-assembled by position."""

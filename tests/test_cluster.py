@@ -106,3 +106,22 @@ def test_duplicate_clusters_survivor_rate(spark):
     )
     assert per_cluster.filter(F.col("canon") != 1).count() == 0
     assert out.count() == 50
+
+
+def test_embedding_dup_clusters_transitive_chain(spark):
+    """A≈B≈C chain collapses to one cluster even though cos(A,C) is below
+    threshold — the property pair-level near-dup output cannot express."""
+    import math
+
+    from data_profiler_spark.operators.similarity import embedding_dup_clusters
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # successive angle 6deg: cos ~= 0.9945 >= 0.99; A-C at 12deg: 0.978 < 0.99
+    rows = [(0, unit(0.0)), (1, unit(0.105)), (2, unit(0.21)), (3, unit(2.0))]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["id"]: r for r in embedding_dup_clusters(df, threshold=0.99).collect()}
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+    assert out[0]["cluster_size"] == 3
+    assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
