@@ -1,0 +1,74 @@
+"""Plan-quality audit: the scale claims of the corpus, held by a test.
+
+Every corpus entry's physical plan (sf0.001) must be free of
+- CartesianProduct / BroadcastNestedLoopJoin: the all-pairs shapes the
+  operator docstrings promise to avoid (banded/bucketed joins instead);
+- BatchEvalPython: row-at-a-time Python UDFs ("UDFs are the slow path" —
+  only Arrow-batched pandas/Arrow exchanges are allowed:
+  FlatMapGroupsInPandas / MapInPandas / PythonMapInArrow).
+
+Exceptions must be declared here WITH a reason, so a new offender fails
+loudly instead of sliding into the corpus unnoticed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_profiler_spark.operators.corpus import CORPUS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FORBIDDEN = [
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+]
+
+# entry -> (pattern allowed, why). Every exception is a small-side
+# broadcast (dim grid, scalar aggregate, or bounded query/centroid set) —
+# cost O(N * small), never data x data.
+ALLOWED: dict[str, list[tuple[str, str]]] = {
+    # monthly grid fill: month-grid x type-universe cross join of two
+    # TINY dimension frames (|months| x |types| rows) — the documented
+    # fill-missing-members shape (U3), never data x data
+    "monthly_type_counts_filled": [
+        ("BroadcastNestedLoopJoin", "tiny dim-grid fill (U3), not data x data")
+    ],
+    "velocity_by_month": [
+        ("BroadcastNestedLoopJoin", "month-grid fill against the tiny ladder dims")
+    ],
+    "verdict_grid": [
+        ("BroadcastNestedLoopJoin", "check-names x logical-partitions grid: both sides metadata-sized")
+    ],
+    "ann_cosine_topk": [
+        ("BroadcastNestedLoopJoin", "brute-force baseline BY DESIGN: corpus x broadcast(bounded query set), O(N*Q)")
+    ],
+    "ann_ivf_topk": [
+        ("BroadcastNestedLoopJoin", "IVF assignment: rows x broadcast(K centroids), O(N*K), K = #lists")
+    ],
+    "part_material_flow": [
+        ("BroadcastNestedLoopJoin", "single-row grand-total aggregate broadcast (report denominator)")
+    ],
+    "part_stratification": [
+        ("BroadcastNestedLoopJoin", "single-row grand-total aggregate broadcast (report denominator)")
+    ],
+    "nation_flow_top10": [
+        ("BroadcastNestedLoopJoin", "single-row grand-total aggregate broadcast (report denominator)")
+    ],
+}
+
+
+@pytest.mark.parametrize("name", list(CORPUS))
+def test_corpus_plan_is_scale_shaped(spark, name):
+    fn, _ = CORPUS[name]
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    allowed = ALLOWED.get(name, [])
+    for pat in FORBIDDEN:
+        if pat in plan and not any(pat == a for a, _ in allowed):
+            raise AssertionError(
+                f"{name}: physical plan contains {pat} (not in the declared "
+                f"exception list) — first lines:\n"
+                + "\n".join(plan.splitlines()[:25])
+            )
