@@ -45,7 +45,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MAX_ROUNDS_DEFAULT = 30
+# Convergence needs ~log2(max component diameter) rounds plus one detection
+# round (measured: a 10k-node chain converges in 14, detected at 15 —
+# BENCH/BASELINE.md). 64 covers a 2^60-node pathological chain, far beyond
+# any physical graph, while still bounding a runaway loop.
+_MAX_ROUNDS_DEFAULT = 64
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
