@@ -65,6 +65,33 @@ def _col_letter(idx: int) -> str:
     return out
 
 
+# OOXML _xNNNN_ escaping: XML 1.0 forbids most control chars (and lone
+# surrogates / U+FFFE / U+FFFF cannot be encoded at all), but the dirty
+# data this profiler reports on contains them. Excel's own convention is
+# to write such a char as _xNNNN_ (and protect literal "_xNNNN_" text by
+# escaping its underscore as _x005F_); the reader reverses it, so every
+# string round-trips exactly.
+_X_SEQ = re.compile(r"_x([0-9A-Fa-f]{4})_")
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
+def _escape_cell_text(s: str) -> str:
+    s = _X_SEQ.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    s = _XML_ILLEGAL.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+    # XML parsers normalize literal \r (and \r\n) to \n in text content;
+    # a character reference survives normalization, so carriage returns
+    # round-trip only as &#13; (same trick Excel itself uses).
+    return escape(s).replace("\r", "&#13;")
+
+
+def _unescape_cell_text(s: str) -> str:
+    # single left-to-right pass: _x005F_x0001_ → literal "_x0001_",
+    # genuine _x0001_ → "\x01"
+    return _X_SEQ.sub(
+        lambda m: "_" if m.group(1).upper() == "005F" else chr(int(m.group(1), 16)), s
+    )
+
+
 def _cell_xml(ref: str, value) -> str:
     if value is None:
         return ""
@@ -74,10 +101,7 @@ def _cell_xml(ref: str, value) -> str:
         if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
             return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    # XML parsers normalize literal \r (and \r\n) to \n in text content;
-    # a character reference survives normalization, so carriage returns
-    # round-trip only as &#13; (same trick Excel itself uses).
-    text = escape(str(value)).replace("\r", "&#13;")
+    text = _escape_cell_text(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 
 
@@ -110,10 +134,22 @@ def write_xlsx(
     Same bounded-collect discipline as render_html_report: each sheet is
     ONE limit(budget+1).collect(); a frame past the cell budget becomes a
     single-cell notice sheet instead of flattening the driver."""
+    if not sections:
+        raise ValueError("write_xlsx needs at least one (name, df) section "
+                         "(a zero-sheet workbook is invalid OOXML)")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     sheets: list[tuple[str, list[str], list[list]]] = []
+    seen_names: set[str] = set()
     for name, df in sections:
         safe = _SHEETNAME_BAD.sub("_", name)[:31] or "sheet"
+        # sanitize/truncate can collide ('a/b' and 'a:b' → 'a_b'); OOXML
+        # forbids duplicate sheet names, so suffix within the 31-char cap
+        n_try, i = safe, 2
+        while n_try.lower() in seen_names:
+            tag = f"~{i}"
+            n_try, i = safe[: 31 - len(tag)] + tag, i + 1
+        safe = n_try
+        seen_names.add(safe.lower())
         cols = df.columns
         row_limit = cell_limit // max(len(cols), 1)
         rows = [list(r) for r in df.limit(row_limit + 1).collect()]
@@ -133,7 +169,8 @@ def write_xlsx(
         for i in range(len(sheets))
     )
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        # attribute context: double quotes must be escaped too
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, (n, _, _) in enumerate(sheets)
     )
     workbook = (
@@ -177,16 +214,18 @@ def _parse_cell(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find(_q("is"))
-        return "".join(el.text or "" for el in is_el.iter(_q("t"))) if is_el is not None else None
+        if is_el is None:
+            return None
+        return _unescape_cell_text("".join(el.text or "" for el in is_el.iter(_q("t"))))
     v = c.find(_q("v"))
     if v is None or v.text is None:
         return None
     if t == "s":
-        return shared[int(v.text)]
+        return _unescape_cell_text(shared[int(v.text)])
     if t == "b":
         return v.text == "1"
     if t == "str":
-        return v.text
+        return _unescape_cell_text(v.text)
     num = float(v.text)
     return int(num) if num.is_integer() and "e" not in v.text.lower() and "." not in v.text else num
 
@@ -212,7 +251,15 @@ def read_xlsx_rows(path: str, sheet: str | None = None) -> tuple[list[str], list
         target = {
             r.get("Id"): r.get("Target") for r in rels.iter(f"{{{_PKG_REL_NS}}}Relationship")
         }[rids[which]]
-        sheet_xml = z.read(f"xl/{target.lstrip('/')}" if not target.startswith("xl/") else target)
+        # relationship targets: absolute ('/xl/worksheets/s1.xml') are full
+        # part names; relative ones resolve against the xl/ base
+        if target.startswith("/"):
+            part = target.lstrip("/")
+        elif target.startswith("xl/"):
+            part = target
+        else:
+            part = f"xl/{target}"
+        sheet_xml = z.read(part)
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
@@ -223,11 +270,14 @@ def read_xlsx_rows(path: str, sheet: str | None = None) -> tuple[list[str], list
     grid: list[list] = []
     for row in root.iter(_q("row")):
         cells: list = []
-        for c in row.iter(_q("c")):
-            col = _cell_ref_to_col(c.get("r", ""))
+        next_col = 0  # the r attribute is optional; r-less cells are
+        for c in row.iter(_q("c")):  # "next column after the previous cell"
+            ref = c.get("r")
+            col = _cell_ref_to_col(ref) if ref else next_col
             while len(cells) <= col:
                 cells.append(None)
             cells[col] = _parse_cell(c, shared)
+            next_col = col + 1
         grid.append(cells)
     if not grid:
         raise ValueError(f"sheet {sheet or names[0]!r} in {path} is empty")

@@ -133,15 +133,12 @@ def test_missing_sheet_and_empty_errors(spark, tmp_path):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-# XML 1.0 forbids most control chars; the writer targets report frames
-# (printable content), so the property space excludes them like the XML
-# spec does. Surrogates are excluded (not encodable to UTF-8).
+# Control chars ARE in scope: the writer escapes XML-illegal chars with
+# OOXML _xNNNN_ sequences (and protects literal "_xNNNN_" text), so any
+# non-surrogate string must round-trip exactly. Surrogates stay excluded
+# (not representable in well-formed UTF-8 interchange generally).
 _xml_text = st.text(
-    st.characters(
-        blacklist_categories=("Cs",), blacklist_characters="".join(
-            chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)
-        )
-    ),
+    st.characters(blacklist_categories=("Cs",)),
     max_size=40,
 )
 _cell = st.one_of(
@@ -200,3 +197,76 @@ def test_xlsx_cell_roundtrip_property(tmp_path_factory, rows):
                 assert isinstance(g, (int, float)) and float(g) == want
             else:
                 assert g == want, (want, g)
+
+
+def test_control_chars_and_x_sequences_roundtrip(spark, tmp_path):
+    """Dirty-data strings: XML-illegal control chars round-trip via OOXML
+    _xNNNN_ escaping, and literal _xNNNN_ text is protected (_x005F_)."""
+    from data_profiler_spark.sinks.excel import read_xlsx_rows, write_xlsx
+
+    vals = ["bad\x01key", "_x0001_", "_x005F_", "tab\tok", "nul\x00"]
+    df = spark.createDataFrame([tuple(vals)], "a string, b string, c string, d string, e string")
+    path = str(tmp_path / "ctrl.xlsx")
+    write_xlsx([("s", df)], path)
+    header, rows = read_xlsx_rows(path)
+    assert rows[0] == vals
+
+
+def test_sheet_name_quotes_and_collisions(spark, tmp_path):
+    """Quoted sheet names survive (attribute escaping) and sanitized-name
+    collisions get deduplicated suffixes instead of invalid duplicates."""
+    from data_profiler_spark.sinks.excel import list_sheets, read_xlsx_rows, write_xlsx
+
+    df = spark.createDataFrame([(1,)], "x int")
+    path = str(tmp_path / "names.xlsx")
+    write_xlsx([('drift "psi"', df), ("a/b", df), ("a:b", df)], path)
+    names = list_sheets(path)
+    assert names[0] == 'drift "psi"'
+    assert names[1] == "a_b" and names[2] != names[1] and names[2].startswith("a_b")
+    for n in names:
+        assert read_xlsx_rows(path, n)[0] == ["x"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_xlsx([], str(tmp_path / "empty.xlsx"))
+
+
+def test_foreign_workbook_rless_cells_and_absolute_targets(tmp_path):
+    """Spec-valid producer quirks: cells without r attributes (positional)
+    and absolute relationship targets ('/xl/...')."""
+    import zipfile as _zf
+
+    from data_profiler_spark.sinks import excel as xl
+    from data_profiler_spark.sinks.excel import read_xlsx_rows
+
+    path = str(tmp_path / "foreign.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        f'<worksheet xmlns="{xl._MAIN_NS}"><sheetData>'
+        '<row><c t="inlineStr"><is><t>h1</t></is></c>'
+        '<c t="inlineStr"><is><t>h2</t></is></c></row>'
+        '<row><c t="inlineStr"><is><t>v1</t></is></c><c><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with _zf.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", xl._CONTENT_TYPES.format(
+            sheet_overrides='<Override PartName="/xl/worksheets/sheet1.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'))
+        z.writestr("_rels/.rels", xl._ROOT_RELS)
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?>'
+            f'<workbook xmlns="{xl._MAIN_NS}" xmlns:r="{xl._REL_NS}">'
+            '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?>'
+            f'<Relationships xmlns="{xl._PKG_REL_NS}">'
+            '<Relationship Id="rId1" Type="t" Target="/xl/worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = read_xlsx_rows(path)
+    assert header == ["h1", "h2"]
+    assert rows == [["v1", 7]]
