@@ -44,6 +44,18 @@ from pyspark.storagelevel import StorageLevel
 
 _PID = "__dps_pid"
 
+
+class _NanSentinel:
+    """Stands in for float NaN in driver-side group keys (nan != nan)."""
+
+    def __repr__(self) -> str:  # stable sort-key text
+        return "__dps_nan__"
+
+    __str__ = __repr__
+
+
+_NAN = _NanSentinel()
+
 # Persisted range-partitioned frames whose outputs the caller has not yet
 # released. Bounded by calls-per-session; each entry is a small aggregate
 # frame, but long-lived sessions (bench, the oracle harness) should release.
@@ -133,10 +145,22 @@ def distributed_cumsum(
     # (None vs 'None', 1 vs '1') and reset the accumulator mid-group, so the
     # key carries (is-null, type, str) per group column — equal raw tuples
     # sort equal, distinct-typed lookalikes sort apart.
+    def _ckey(r) -> tuple:
+        # comparison key: Spark's groupBy/eqNullSafe unify NaN into ONE
+        # group, but Python has nan != nan — raw-tuple comparison would
+        # reset the accumulator on every row of a NaN group, zeroing its
+        # cross-partition offsets. Canonicalize NaN for comparison/dict use
+        # only (a singleton sentinel, so no string value can collide);
+        # off_rows keeps the raw value so the join still matches.
+        return tuple(
+            _NAN if isinstance(r[g], float) and r[g] != r[g] else r[g]
+            for g in groups
+        )
+
     rows = sorted(
         totals.collect(),
         key=lambda r: (
-            tuple((r[g] is None, str(type(r[g])), str(r[g])) for g in groups),
+            tuple((v is None, str(type(v)), str(v)) for v in _ckey(r)),
             r[_PID],
         ),
     )
@@ -146,12 +170,29 @@ def distributed_cumsum(
     totals_by_key: dict[tuple, dict] = {}
     acc: dict = {}
     prev_key: object = object()
+    # Float group columns need an explicit NaN marker: the Arrow/pandas
+    # path the offsets frame rides converts NaN to NULL (pandas uses NaN
+    # as its null marker), so a NaN group key could not survive into the
+    # frame — and eqNullSafe(NaN, NULL) is false, which would silently
+    # drop every row of a NaN group from the output. The flag column
+    # carries "this offsets row is the NaN group" out-of-band.
+    from pyspark.sql.types import DoubleType, FloatType
+
+    float_groups = [
+        g for g in groups if isinstance(tot_schema[g], (DoubleType, FloatType))
+    ]
+
+    def _isnan(x) -> bool:
+        return isinstance(x, float) and x != x
+
     for r in rows:
-        key = tuple(r[g] for g in groups)
+        key = _ckey(r)
         if key != prev_key:
             acc = {v: _zero_for(tot_schema[f"__tot_{v}"]) for v in values}
             prev_key = key
-        off_rows.append([int(r[_PID]), *key, *[acc[v] for v in values]])
+        gvals = [None if _isnan(r[g]) else r[g] for g in groups]
+        flags = [_isnan(r[g]) for g in float_groups]
+        off_rows.append([int(r[_PID]), *gvals, *flags, *[acc[v] for v in values]])
         for v in values:
             t = r[f"__tot_{v}"]
             if t is not None:
@@ -159,11 +200,13 @@ def distributed_cumsum(
         totals_by_key[key] = acc
     if include_total:
         for i, r in enumerate(rows):
-            key = tuple(r[g] for g in groups)
-            off_rows[i] = off_rows[i] + [totals_by_key[key][v] for v in values]
+            off_rows[i] = off_rows[i] + [totals_by_key[_ckey(r)][v] for v in values]
+
+    from pyspark.sql.types import BooleanType
 
     fields = [StructField(_PID, next(f.dataType for f in totals.schema.fields if f.name == _PID), False)]
     fields += [StructField(g, tot_schema[g], True) for g in groups]
+    fields += [StructField(f"__nan_{g}", BooleanType(), False) for g in float_groups]
     fields += [StructField(f"__off_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
     if include_total:
         fields += [StructField(f"total_{v}", tot_schema[f"__tot_{v}"], True) for v in values]
@@ -184,9 +227,21 @@ def distributed_cumsum(
 
     # Null-safe equality on the group columns: a NULL group value (e.g. a
     # null shipdate → null month) must still find its offsets row — plain
-    # `==` would silently drop those rows from the output.
+    # `==` would silently drop those rows from the output. Float groups
+    # additionally route NaN through the __nan_ flag (see above): a NaN
+    # local row matches exactly the flagged offsets row, and a genuine
+    # NULL group only matches the unflagged NULL row.
     cond = [local[_PID] == offsets[_PID]]
-    cond += [local[g].eqNullSafe(offsets[g]) for g in groups]
+    for g in groups:
+        if g in float_groups:
+            local_nan = F.coalesce(F.isnan(local[g]), F.lit(False))
+            cond.append(
+                F.when(local_nan, offsets[f"__nan_{g}"]).otherwise(
+                    local[g].eqNullSafe(offsets[g]) & ~offsets[f"__nan_{g}"]
+                )
+            )
+        else:
+            cond.append(local[g].eqNullSafe(offsets[g]))
     out_cols = [local[c] for c in df.columns] + [
         (local[f"__local_{v}"] + offsets[f"__off_{v}"]).alias(f"cum_{v}")
         for v in values

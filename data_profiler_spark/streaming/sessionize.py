@@ -104,6 +104,8 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+    if not io.exists(spark, table):  # zero batches drained → typed empty frame
+        return spark.createDataFrame([], OUT_SCHEMA)
     return io.read(spark, table)
 
 

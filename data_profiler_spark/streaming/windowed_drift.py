@@ -66,7 +66,12 @@ def windowed_drift_stream(
         io = ParquetTableIO(os.path.join(checkpoint_dir, "_tables"))
     if hi <= lo:
         hi = lo + 1.0
-    base = baseline_hist.select("column", "bucket", "count")
+    # a multi-column persisted baseline frame is valid input: keep only the
+    # streamed column's histogram, otherwise the cross-join below replicates
+    # every other column into spurious (psi=null) drift rows per window
+    base = baseline_hist.filter(F.col("column") == column).select(
+        "column", "bucket", "count"
+    )
 
     src = spark.readStream.schema(schema).parquet(input_path).withWatermark(
         ts_col, watermark_delay

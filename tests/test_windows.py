@@ -159,3 +159,20 @@ def test_grouped_cumsum_keeps_null_group_rows(spark):
     assert got[(None, 3)] == (5, 12) and got[(None, 4)] == (12, 12)
     assert got[("a", 1)] == (10, 30) and got[("a", 2)] == (30, 30)
     assert got[("b", 5)] == (1, 1)
+
+
+def test_grouped_cumsum_nan_group_accumulates_across_partitions(spark):
+    """Spark's groupBy unifies NaN into one group; the driver-side prefix
+    must too (Python nan != nan would reset the offset per totals row,
+    zeroing the NaN group's cross-partition running totals)."""
+    import math
+
+    rows = [(float("nan") if i % 3 == 0 else float(i % 2), i, 1) for i in range(240)]
+    df = spark.createDataFrame(rows, "g double, k int, v int").repartition(8)
+    out = distributed_cumsum(
+        df, [F.asc("k")], ["v"], num_partitions=6, partition_by=["g"]
+    ).collect()
+    nan_rows = [r for r in out if math.isnan(r["g"])]
+    assert len(nan_rows) == 80
+    # one coherent running total 1..80 across all partitions of the group
+    assert sorted(r["cum_v"] for r in nan_rows) == list(range(1, 81))
