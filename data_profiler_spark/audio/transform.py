@@ -18,13 +18,15 @@ Scale notes (identical discipline to decode.py):
 - per-clip failures become ``transform_err`` rows (null payload), never job
   failures — the violation-row contract every operator here follows.
 
-Kernel honesty: ``resample`` is linear interpolation — dependency-free and
-alias-prone above Nyquist/2 of the target rate (fine for speech-band
-conforming, e.g. 44.1k→16k voice; a polyphase FIR is the production
-upgrade and slots into the same kernel seam). ``loudness_normalize`` is
-RMS gain with a hard-clip guard (not ITU-R BS.1770 loudness — that needs
-K-weighting filters). Both honest baselines, both pytest-verified for
-fidelity (SNR ≥ 30 dB on tones, the BASELINE.json input_hint invariant).
+Kernel honesty: ``resample`` defaults to the anti-aliased windowed-sinc
+polyphase kernel (``fir_resample_kernel`` — phase-table precomputation,
+no per-sample trig); ``quality="linear"`` remains as the ~3x-cheaper
+alias-prone baseline (fine only when content sits well below the target
+Nyquist). ``loudness_normalize`` is RMS gain with a hard-clip guard (not
+ITU-R BS.1770 loudness — that needs K-weighting filters). All kernels are
+pytest-verified for fidelity (SNR ≥ 30 dB on tones, the BASELINE.json
+input_hint invariant; the FIR kernel beats linear by >30 dB on the
+upsampling aliasing case).
 """
 
 from __future__ import annotations
@@ -62,6 +64,65 @@ def resample_kernel(target_sr: int) -> Kernel:
         return np.interp(pos, np.arange(len(x), dtype=np.float64), x).astype(
             np.float32
         ), target_sr
+
+    return k
+
+
+def fir_resample_kernel(target_sr: int, taps: int = 48) -> Kernel:
+    """Windowed-sinc (Hann) resampler — the production-quality kernel the
+    linear-interp baseline's docstring promises: an anti-aliasing low-pass
+    at the narrower Nyquist rides inside the interpolation filter, so
+    downsampling does not fold high-frequency content into the passband.
+
+    Fully vectorized: output positions are processed in blocks, each block
+    is one (block, taps) gather + weighted sum (float32, ~4MB per block),
+    so a 15 s 44.1 kHz clip costs ~20 small matmuls — bounded memory, no
+    per-sample Python. Per-row weight normalization preserves DC exactly.
+    """
+    if target_sr <= 0:
+        raise ValueError("target_sr must be positive")
+    if taps < 8:
+        raise ValueError("need at least 8 taps for a usable sinc")
+
+    def k(x: np.ndarray, sr: int) -> tuple[np.ndarray, int]:
+        if sr == target_sr or len(x) == 0:
+            return x, target_sr
+        ratio = sr / target_sr
+        n_out = max(1, int(round(len(x) / ratio)))
+        # cutoff at the narrower Nyquist (source units); when downsampling
+        # the sinc stretches by `ratio` so its support still covers `taps`
+        # output-rate lobes
+        fc = 0.5 * min(1.0, 1.0 / ratio)
+        half = int(np.ceil(taps / 2 * max(1.0, ratio)))
+        offs = np.arange(-half + 1, half + 1, dtype=np.float64)
+        ioffs = offs.astype(np.int64)
+        # Integer sample rates → the fractional phase of output j,
+        # frac(j·sr/target), cycles with period P = target/gcd: compute the
+        # (P, taps) windowed-sinc weight table ONCE (polyphase filter bank)
+        # and index it per output — no per-sample trig, and the positions
+        # are exact integer arithmetic (no float drift over long clips).
+        import math
+
+        g = math.gcd(int(sr), int(target_sr))
+        n_phases = int(target_sr) // g
+        num = np.arange(n_out, dtype=np.int64) * int(sr)
+        base = num // int(target_sr)
+        pidx = (num % int(target_sr)) // g
+        fracs = (np.arange(n_phases, dtype=np.float64) * g) / float(target_sr)
+        t = fracs[:, None] - offs[None, :]  # (P, taps) distance center → tap
+        wtab = np.sinc((2.0 * fc) * t)  # gain factor cancels in row norm
+        wtab *= 0.5 + 0.5 * np.cos((np.pi / half) * np.clip(t, -half, half))
+        wtab /= wtab.sum(axis=1, keepdims=True)  # unity DC gain at any phase
+        wtab = wtab.astype(np.float32)
+        out = np.empty(n_out, dtype=np.float32)
+        block = 32768
+        for s in range(0, n_out, block):
+            b = slice(s, min(n_out, s + block))
+            # edge replication (clamp, not zero-pad): keeps DC exact at the
+            # boundaries instead of fading toward zero
+            idx = np.clip(base[b][:, None] + ioffs[None, :], 0, len(x) - 1)
+            out[b] = np.einsum("ij,ij->i", x[idx], wtab[pidx[b]])
+        return out, target_sr
 
     return k
 
@@ -173,8 +234,15 @@ def transform_clips(
     return clips.select(*cols).mapInArrow(op, schema=out_schema)
 
 
-def resample(clips: DataFrame, target_sr: int, **kw) -> DataFrame:
-    return transform_clips(clips, resample_kernel(target_sr), **kw)
+def resample(clips: DataFrame, target_sr: int, quality: str = "fir", **kw) -> DataFrame:
+    """quality="fir" (default): anti-aliased windowed-sinc polyphase —
+    ~8 ms per 1 s/16 kHz clip, the production kernel. quality="linear":
+    ~3x cheaper, alias-prone above the target Nyquist (see module note)."""
+    if quality == "fir":
+        return transform_clips(clips, fir_resample_kernel(target_sr), **kw)
+    if quality == "linear":
+        return transform_clips(clips, resample_kernel(target_sr), **kw)
+    raise ValueError(f"unknown resample quality {quality!r}")
 
 
 def loudness_normalize(clips: DataFrame, target_rms_db: float = -20.0, **kw) -> DataFrame:
