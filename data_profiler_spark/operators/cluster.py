@@ -89,22 +89,37 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = _MAX_ROUNDS_DEFAULT,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``; cluster_id is
     the minimum node id of the connected component (deterministic).
 
     Nodes not present in any pair do not appear — callers join back to the
     full universe for singleton fill (``duplicate_clusters`` does).
+
+    ``checkpoint_dir``: with a path (HDFS/S3 on a real cluster), per-round
+    materialization uses RELIABLE checkpoints — an executor loss mid-loop
+    recomputes nothing and corrupts nothing. Default (None) uses
+    localCheckpoint: cheaper, right for local mode and short loops, but an
+    executor loss loses the truncated lineage with it.
     """
-    edges = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _materialize(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_fp = _fingerprint(edges)
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _materialize(_small_star(_large_star(edges)))
         fp = _fingerprint(edges)
         if fp == prev_fp:
             break

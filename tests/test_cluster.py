@@ -125,3 +125,20 @@ def test_embedding_dup_clusters_transitive_chain(spark):
     assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
     assert out[0]["cluster_size"] == 3
     assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-round materialization to reliable
+    checkpoints (executor-loss-safe on a real cluster): same labels, and
+    checkpoint data actually lands under the given dir."""
+    import os
+
+    cp = str(tmp_path / "cc_cp")
+    pairs = [(2, 1), (2, 3), (10, 11)]
+    df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, checkpoint_dir=cp).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(files for _, _, files in os.walk(cp))  # rdd checkpoints written
