@@ -305,6 +305,32 @@ def kmeans_train(
     return assign.select("vec_id", "list_id"), cents
 
 
+def save_quantizer(io, cents: DataFrame, table: str = "ivf_centroids") -> None:
+    """Persist the trained IVF coarse quantizer (the (label, __centvec)
+    frame from ``kmeans_train``) through the engine's TableIO seam — the
+    train-once / assign-many workflow: at 10^12 rows the quantizer is
+    trained on a sample in one job, then every ingest/query job loads it
+    back instead of retraining. Vectors are exploded to (label, pos, value)
+    rows so the table is a plain columnar frame (no array-codec coupling)."""
+    long = cents.select("label", F.posexplode("__centvec").alias("pos", "value"))
+    io.overwrite(long, table)
+
+
+def load_quantizer(io, spark: SparkSession, table: str = "ivf_centroids") -> DataFrame:
+    """Inverse of :func:`save_quantizer`: (label, __centvec) ready for
+    ``ivf_topk(centroids=...)`` — search without retraining."""
+    long = io.read(spark, table)
+    return (
+        long.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "value"))
+            ).alias("__pv")
+        )
+        .select("label", F.transform("__pv", lambda s: s["value"]).alias("__centvec"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -314,6 +340,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     train_iters: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path alongside LSH.
 
@@ -330,7 +357,9 @@ def ivf_topk(
     external oracle folding dot products in the same index order assigns
     identically (functions/vectors.py determinism note).
     """
-    if train_iters > 0:
+    if centroids is not None:  # pre-trained quantizer (load_quantizer)
+        cents = centroids
+    elif train_iters > 0:
         _, cents = kmeans_train(corpus, id_col, vec_col, label_col, iters=train_iters)
     else:
         cents = _centroid_vectors(corpus, label_col, vec_col)

@@ -341,3 +341,34 @@ def test_kmeans_train_recovers_clusters(spark):
     # each true cluster maps to ONE list, and the two lists differ
     assert len(set(first)) == 1 and len(set(second)) == 1
     assert set(first) != set(second)
+
+
+def test_ivf_quantizer_save_load_roundtrip(spark, tmp_io):
+    """Train-once / assign-many: a persisted quantizer reloads bit-for-bit
+    and ivf_topk(centroids=loaded) returns exactly what in-line training
+    returns for the same codebook."""
+    import numpy as np
+
+    from data_profiler_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(v) for v in rng.normal(size=8)], int(i % 4)) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = corpus.limit(5)
+
+    _, cents = S.kmeans_train(corpus, iters=2)
+    S.save_quantizer(tmp_io, cents, "quant")
+    loaded = S.load_quantizer(tmp_io, spark, "quant")
+
+    a = {(r["label"], tuple(r["__centvec"])) for r in cents.collect()}
+    b = {(r["label"], tuple(r["__centvec"])) for r in loaded.collect()}
+    assert a == b
+
+    direct = S.ivf_topk(corpus, queries, k=5, centroids=cents).collect()
+    reloaded = S.ivf_topk(corpus, queries, k=5, centroids=loaded).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, reloaded), key=lambda t: (t[0], t[3])
+    )
