@@ -224,8 +224,15 @@ def verdicts(
     violations still get an explicit PASS row (the reference's is_valid=True
     path, models/DataFiles.py:52-77).
     """
+    from data_profiler_spark.functions.frames import local_frame
+
     spark = violations.sparkSession
-    checks_df = spark.createDataFrame([(c,) for c in check_names], "check_name string")
+    # local_frame, not createDataFrame(list): the pickled-rows path would
+    # drag a Python-worker stage into EVERY downstream job that touches the
+    # verdict grid (~3-4s cold fork per run on this sandbox — the r3
+    # verdict_grid bench regression); the Arrow path is a pure JVM local
+    # relation.
+    checks_df = local_frame(spark, [(c,) for c in check_names], "check_name string")
     counts = violations.groupBy("check_name", "partition_id").agg(
         F.count(F.lit(1)).alias("violation_count")
     )
