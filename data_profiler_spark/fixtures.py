@@ -47,6 +47,11 @@ class Corruptions:
     bad_dur_every: int = 0  # dur_ms disagrees with decoded length
     undecodable_every: int = 0  # truncated / odd-length payload
     null_transcript_every: int = 0
+    # Not a per-k corruption: a global amplitude multiplier (clipped at ±1)
+    # applied to every clip's PCM before encoding. Shifts the rms
+    # distribution without touching dur_ms/decoded_ms — the fixture for
+    # "drift trips only the shifted column" tests.
+    gain_all: float = 1.0
 
 
 CLEAN = Corruptions()
@@ -104,6 +109,8 @@ def _hits(c_every: int, i: int) -> bool:
 def make_clip_row(seed: int, i: int, corr: Corruptions = CLEAN) -> dict:
     p = clip_params(seed, i)
     pcm = clip_truth(seed, i)
+    if corr.gain_all != 1.0:
+        pcm = np.clip(pcm * corr.gain_all, -1.0, 1.0).astype(np.float32)
     payload = encode_pcm16_wav(pcm, p["sr_hz"]) if p["codec"] == "pcm16_wav" else encode_pcm16_raw(pcm)
 
     clip_id: str | None = f"clip-{i:012d}"

@@ -48,7 +48,11 @@ from data_profiler_spark.checks.constraints import row_level_violations
 from data_profiler_spark.drift import drift_from_hist_rows
 from data_profiler_spark.functions.frames import local_frame
 from data_profiler_spark.plans.manifest import Manifest
-from data_profiler_spark.profiling import column_profile_collected, histogram
+from data_profiler_spark.profiling import (
+    column_profile_collected,
+    histogram,
+    histograms_multi,
+)
 from data_profiler_spark.profiling.tdigest import merge_sketch_rows, sketch_by_group
 from data_profiler_spark.schemas import VERDICT_SCHEMA, VIOLATION_SCHEMA
 from data_profiler_spark.sources.tableio import TableIO
@@ -60,6 +64,12 @@ STATS_PROFILE_COLUMNS = ["decoded_ms", "rms", "peak", "clip_ratio", "zero_cross_
 # from merging stored sketches, never from re-reading completed partitions.
 SKETCH_COLUMNS = ["dur_ms", "decoded_ms", "rms"]
 DUR_HIST_BINS = 40
+# Numeric profile columns the drift gate scores (PSI + binned-KS per
+# column vs the baseline snapshot). dur_ms is declared metadata; decoded_ms
+# and rms come out of the decode pass — a baseline snapshot is therefore a
+# full decode run, same as the Describer profiling every selected column
+# (reference data_profiler.py:523-601), not one hand-picked histogram.
+DRIFT_COLUMNS = ["dur_ms", "decoded_ms", "rms"]
 
 
 @dataclass
@@ -146,9 +156,39 @@ class ValidationRun:
 
     # -- baseline snapshot ---------------------------------------------------
     def write_baseline(self, clips: DataFrame) -> None:
-        """Persist the drift baseline: dur_ms histogram with fixed edges."""
-        hist = histogram(clips, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS)
-        self.io.overwrite(hist, "baseline_hist")
+        """Persist the drift baseline: one histogram per DRIFT_COLUMNS column
+        with data-derived edges, plus the edges themselves (baseline_meta) so
+        every later run bins its current histograms identically.
+
+        Runs one decode pass (decoded_ms/rms are decode outputs) and one
+        min/max agg to derive edges, then ONE scan for all histograms
+        (histograms_multi). The upper edge is padded so the observed max
+        lands in the last interior bucket, not the overflow bucket — bucket
+        nbins+1 stays reserved for values genuinely beyond the baseline."""
+        stats = decode_stats(
+            clips.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms"),
+            passthrough=["dur_ms"],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            mm = stats.agg(
+                *[F.min(c).cast("double").alias(f"lo_{c}") for c in DRIFT_COLUMNS],
+                *[F.max(c).cast("double").alias(f"hi_{c}") for c in DRIFT_COLUMNS],
+            ).collect()[0]
+            specs: dict[str, tuple[float, float, int]] = {}
+            for c in DRIFT_COLUMNS:
+                lo = mm[f"lo_{c}"] if mm[f"lo_{c}"] is not None else 0.0
+                hi = mm[f"hi_{c}"] if mm[f"hi_{c}"] is not None else lo + 1.0
+                hi = hi + max((hi - lo) * 1e-6, 1e-9)
+                specs[c] = (lo, hi, DUR_HIST_BINS)
+            self.io.overwrite(histograms_multi(stats, specs), "baseline_hist")
+            meta = local_frame(
+                self.spark,
+                [(c, *specs[c]) for c in DRIFT_COLUMNS],
+                "column string, lo double, hi double, nbins int",
+            )
+            self.io.overwrite(meta, "baseline_meta")
+        finally:
+            stats.unpersist()
 
     # -- main entry ----------------------------------------------------------
     def run(
@@ -327,16 +367,27 @@ class ValidationRun:
             )
 
         def job_drift():
-            # dur_ms histogram vs baseline → PSI + binned-KS. The histogram
-            # aggregations run distributed; the comparison is ≤ nbins+2 rows
-            # per column, so it is computed driver-side (drift_from_hist_rows)
-            # instead of as two join DAGs.
+            # Per-column histograms vs baseline → PSI + binned-KS per
+            # DRIFT_COLUMNS column. Current histograms are binned with the
+            # BASELINE's persisted edges (baseline_meta) — all columns in one
+            # scan of the stats cache. The histogram aggregations run
+            # distributed; the comparison is ≤ nbins+2 rows per column, so it
+            # is computed driver-side (drift_from_hist_rows) instead of as
+            # two join DAGs. Pre-meta baselines (dur_ms only, fixed edges)
+            # keep working via the legacy fallback.
             if not self.io.exists(self.spark, "baseline_hist"):
                 return None
             base_rows = self.io.read(self.spark, "baseline_hist").collect()
-            cur_rows = histogram(
-                stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
-            ).collect()
+            if self.io.exists(self.spark, "baseline_meta"):
+                specs = {
+                    r["column"]: (r["lo"], r["hi"], r["nbins"])
+                    for r in self.io.read(self.spark, "baseline_meta").collect()
+                }
+                cur_rows = histograms_multi(stats, specs).collect()
+            else:
+                cur_rows = histogram(
+                    stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
+                ).collect()
             return [
                 {
                     **d,

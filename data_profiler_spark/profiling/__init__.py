@@ -3,6 +3,7 @@ from data_profiler_spark.profiling.profile import (  # noqa: F401
     column_profile_collected,
     fences_from_profile,
     histogram,
+    histograms_multi,
     outlier_counts,
     top_freq,
 )

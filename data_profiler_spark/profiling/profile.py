@@ -250,3 +250,68 @@ def histogram(
         )
     )
     return out
+
+
+def histograms_multi(
+    df: DataFrame,
+    specs: dict[str, tuple[float, float, int]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histograms for SEVERAL columns in ONE scan.
+
+    ``specs``: column → (lo, hi, nbins), each column binned with its own
+    edges but all counted in a single pass — each row explodes into one
+    (column, bucket) entry per non-null spec column, then one groupBy. N
+    separate :func:`histogram` calls would scan the table N times; at
+    10^12 rows the scan IS the cost, so the drift path (dur_ms, decoded_ms,
+    rms) uses this. Output is HISTOGRAM_SCHEMA, identical per column to what
+    :func:`histogram` produces with the same edges.
+
+    Buckets are materialized behind a projection boundary before the
+    explode — Catalyst re-inlines referenced subtrees per use site, so
+    computing width_bucket inside the struct would evaluate it once per
+    struct field.
+    """
+    group_cols = group_cols or []
+    edges: dict[str, tuple[float, float, int, float]] = {}
+    for c, (lo, hi, nb) in specs.items():
+        lo, hi = float(lo), float(hi)
+        if hi <= lo:
+            hi = lo + 1.0
+        edges[c] = (lo, hi, int(nb), (hi - lo) / int(nb))
+    proj = df.select(
+        *group_cols,
+        *[
+            F.width_bucket(
+                F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
+            ).cast("int").alias(f"__b_{c}")
+            for c, (lo, hi, nb, _w) in edges.items()
+        ],
+    )
+    entries = [
+        F.when(
+            F.col(f"__b_{c}").isNotNull(),
+            F.struct(F.lit(c).alias("column"), F.col(f"__b_{c}").alias("bucket")),
+        )
+        for c in edges
+    ]
+    counts = (
+        proj.select(*group_cols, F.explode(F.array_compact(F.array(*entries))).alias("__e"))
+        .groupBy(*group_cols, F.col("__e.column").alias("column"), F.col("__e.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    lo_expr = hi_expr = None
+    for c, (lo, _hi, _nb, w) in edges.items():
+        this_lo = F.lit(lo) + (F.col("bucket") - 1) * F.lit(w)
+        this_hi = F.lit(lo) + F.col("bucket") * F.lit(w)
+        cond = F.col("column") == c
+        lo_expr = this_lo if lo_expr is None else F.when(cond, this_lo).otherwise(lo_expr)
+        hi_expr = this_hi if hi_expr is None else F.when(cond, this_hi).otherwise(hi_expr)
+    return counts.select(
+        *[F.col(g) for g in group_cols],
+        "column",
+        "bucket",
+        lo_expr.alias("lo"),
+        hi_expr.alias("hi"),
+        "count",
+    )

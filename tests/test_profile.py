@@ -116,3 +116,20 @@ def test_grouped_profile(sdf, pdf):
     for g, grp in pdf.groupby("g"):
         assert got[(g, "count")] == len(grp)
         assert got[(g, "mean")] == pytest.approx(grp["y"].mean())
+
+
+def test_histograms_multi_matches_per_column(sdf):
+    """One-scan multi-column histograms == N independent histogram() calls
+    (same edges), including under/overflow buckets and lo/hi edge values."""
+    from data_profiler_spark.profiling import histograms_multi
+
+    specs = {"x": (0.0, 200.0, 8), "y": (-5.0, 100.0, 10)}
+    multi = {
+        (r["column"], r["bucket"]): (r["count"], round(r["lo"], 9), round(r["hi"], 9))
+        for r in histograms_multi(sdf, specs).collect()
+    }
+    single = {}
+    for c, (lo, hi, nb) in specs.items():
+        for r in histogram(sdf, c, lo, hi, nb).collect():
+            single[(c, r["bucket"])] = (r["count"], round(r["lo"], 9), round(r["hi"], 9))
+    assert multi == single

@@ -77,8 +77,28 @@ def test_clean_run_passes_and_drift(spark, tmp_io):
     res = run.run(clips)
     assert res.all_passed
     assert res.drift is not None
-    d = res.drift.collect()[0]
-    assert d["psi_passed"] and d["ks_passed"]
+    rows = {r["column"]: r for r in res.drift.collect()}
+    # the drift gate scores EVERY baseline column, not one hand-picked one
+    assert set(rows) >= {"dur_ms", "decoded_ms", "rms"}
+    for c, d in rows.items():
+        assert d["psi_passed"] and d["ks_passed"], c
+
+
+def test_drift_trips_only_shifted_column(spark, tmp_io):
+    """A global amplitude (rms) shift must FAIL the rms drift row and leave
+    dur_ms / decoded_ms passing — per-column baselines, not a single
+    hardcoded dur_ms histogram."""
+    clean = fixtures.generate_clips(spark, N, seed=SEED)
+    louder = fixtures.generate_clips(
+        spark, N, seed=SEED, corruptions=fixtures.Corruptions(gain_all=1.6)
+    )
+    run = ValidationRun(spark, tmp_io, n_partitions=PARTS)
+    run.write_baseline(clean)
+    res = run.run(louder)
+    rows = {r["column"]: r for r in res.drift.collect()}
+    assert not rows["rms"]["psi_passed"]
+    assert rows["dur_ms"]["psi_passed"] and rows["dur_ms"]["ks_passed"]
+    assert rows["decoded_ms"]["psi_passed"] and rows["decoded_ms"]["ks_passed"]
 
 
 def test_resume_from_manifest(spark, tmp_io):
