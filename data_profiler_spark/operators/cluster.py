@@ -77,11 +77,51 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _fingerprint(edges: DataFrame) -> tuple:
+    # Two INDEPENDENT xor-hashes (second one salted) + the count, all in one
+    # tiny agg job: declaring convergence on a single xor stream would let an
+    # (astronomically unlikely, but silent) xor collision between distinct
+    # same-size edge sets stop the loop early with wrong labels. A collision
+    # now requires both 64-bit streams to collide simultaneously.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        F.expr("bit_xor(xxhash64(u, v, 1))").alias("x2"),
     ).first()
-    return (row["n"], row["x"])
+    return (row["n"], row["x"], row["x2"])
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Closure of a METADATA-SCALE edge set, driver-side.
+
+    Collects the (already distinct, self-loop-free) edges, runs union-find
+    with path compression and union-by-min (labels = component min — the
+    exact contract of the distributed loop), and returns the (id,
+    cluster_id) frame through the Arrow local_frame path. Bounded by
+    ``small_graph_edges`` at the call site; never reached for graphs above
+    the threshold."""
+    from pyspark.sql.types import StructField, StructType
+
+    from data_profiler_spark.functions.frames import local_frame
+
+    id_type = edges.schema["u"].dataType
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("cluster_id", id_type, True)]
+    )
+    return local_frame(edges.sparkSession, rows, schema)
 
 
 def connected_components(
@@ -90,6 +130,7 @@ def connected_components(
     dst: str = "id_b",
     max_rounds: int = _MAX_ROUNDS_DEFAULT,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``; cluster_id is
     the minimum node id of the connected component (deterministic).
@@ -102,6 +143,16 @@ def connected_components(
     recomputes nothing and corrupts nothing. Default (None) uses
     localCheckpoint: cheaper, right for local mode and short loops, but an
     executor loss loses the truncated lineage with it.
+
+    ``small_graph_edges``: hybrid cutoff. A distinct edge set at or below
+    this size resolves driver-side via union-find (one bounded collect, same
+    component-min labels) instead of paying ~log(diameter) distributed
+    rounds of fixed job latency. Near-dup graphs are tiny relative to their
+    corpus (verified pairs ≈ O(dup rate × docs)); when they are NOT — 10^10
+    edges from a 10^12-doc crawl — the count check routes to the log-round
+    loop, whose per-round cost is shuffle-bound on |E|, which is the path
+    that matters at scale. 0 disables the short-circuit (strain tests pin
+    the distributed loop this way).
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
@@ -118,6 +169,8 @@ def connected_components(
         .distinct()
     )
     prev_fp = _fingerprint(edges)
+    if small_graph_edges and prev_fp[0] <= small_graph_edges:
+        return _driver_union_find(edges)
     for _ in range(max_rounds):
         edges = _materialize(_small_star(_large_star(edges)))
         fp = _fingerprint(edges)

@@ -27,9 +27,13 @@ def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _cc_spark(spark, pairs: list[tuple[int, int]]) -> dict[int, int]:
+def _cc_spark(spark, pairs: list[tuple[int, int]], **kw) -> dict[int, int]:
+    # small_graph_edges=0 pins the DISTRIBUTED large-star/small-star loop —
+    # these tests exist to verify it (the driver union-find short-circuit
+    # would otherwise absorb every toy graph and test nothing).
+    kw.setdefault("small_graph_edges", 0)
     df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
-    out = connected_components(df).collect()
+    out = connected_components(df, **kw).collect()
     return {r["id"]: r["cluster_id"] for r in out}
 
 
@@ -73,6 +77,33 @@ def test_cc_matches_union_find_property(spark, pairs):
     expected = _union_find_labels(pairs)
     got = _cc_spark(spark, pairs)
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_hybrid_paths_agree(spark, pairs):
+    """The driver union-find short-circuit (default threshold) and the
+    distributed star loop label identically — including string ids."""
+    pairs = [p for p in pairs if p[0] != p[1]]
+    if not pairs:
+        return
+    fast = _cc_spark(spark, pairs, small_graph_edges=200_000)
+    slow = _cc_spark(spark, pairs, small_graph_edges=0)
+    assert fast == slow
+
+
+def test_cc_small_graph_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a: string, id_b: string"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_duplicate_clusters_singleton_fill_and_sizes(spark):
@@ -138,7 +169,7 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
     out = {
         r["id"]: r["cluster_id"]
-        for r in connected_components(df, checkpoint_dir=cp).collect()
+        for r in connected_components(df, checkpoint_dir=cp, small_graph_edges=0).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert any(files for _, _, files in os.walk(cp))  # rdd checkpoints written
