@@ -351,3 +351,98 @@ def test_stream_dedup_drops_rearrivals_across_batches(spark, dirs):
     import hashlib
 
     assert fps[0]["fingerprint"] == hashlib.md5(b"something else").hexdigest()
+
+
+def test_stream_neardup_marks_cross_batch_pair(spark, dirs):
+    """mark_near_dups_stream: a near-dup (one-token edit) arriving in a
+    LATER micro-batch run is marked against the original (band-key state
+    survives via the checkpoint); novel docs produce no marking rows. See
+    stream_neardup.py's design note — markings are banded candidates, not
+    verified near-dups."""
+    import pandas as pd
+
+    from data_profiler_spark.streaming import mark_near_dups_stream
+
+    in_dir, cp = dirs
+    out_dir = cp + "_out"
+    schema = "doc_id string, text string, event_time timestamp"
+    base = (
+        "the quick brown fox jumps over the lazy dog while data spark audio "
+        "clips stream nicely through the validation engine tonight"
+    )
+
+    def land(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "event_time"])
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+        spark.createDataFrame(pdf, schema).write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        marks = mark_near_dups_stream(stream, watermark="1 hour")
+        q = (
+            marks.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(
+        [
+            ("orig", base, "2026-01-01 10:00:00"),
+            ("other", "completely unrelated words about database joins and shuffles here", "2026-01-01 10:00:10"),
+        ]
+    )
+    drain()
+    land(
+        [
+            ("near", base.replace("tonight", "today"), "2026-01-01 10:05:00"),
+            ("novel", "yet another fully distinct document with no shared shingles at all whatsoever", "2026-01-01 10:05:10"),
+        ]
+    )
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    pairs = {
+        (r["doc_id"], r["matched_doc_id"])
+        for r in got.select("doc_id", "matched_doc_id").distinct().collect()
+    }
+    assert ("near", "orig") in pairs  # cross-batch near-pair marked
+    marked_ids = {p[0] for p in pairs}
+    assert "other" not in marked_ids and "novel" not in marked_ids
+
+
+def test_stream_band_keys_match_batch_lsh(spark):
+    """band_keys_per_row (per-row array_min signature) produces bit-identical
+    band keys to the batch explode+groupBy path in operators/dedup — streamed
+    markings and batch candidates must agree on what 'near' means."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from data_profiler_spark.operators.dedup import minhash_signatures
+    from data_profiler_spark.streaming.stream_neardup import band_keys_per_row
+
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("d2", "completely different words describing spark shuffle behavior"),
+        ("d3", "short doc"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["event_time"] = pd.to_datetime("2026-01-01 10:00:00")
+    df = spark.createDataFrame(pdf, "doc_id string, text string, event_time timestamp")
+
+    stream_keys = {
+        (r["doc_id"], r["band_id"]): r["band_key"]
+        for r in band_keys_per_row(df, num_hashes=8, rows_per_band=2).collect()
+    }
+    sig = minhash_signatures(df, "doc_id", "text", num_hashes=8, shingle_k=3)
+    batch_keys = {}
+    for r in sig.collect():
+        for b in range(4):
+            key = spark.sql(
+                "select md5(concat_ws('', %s)) k"
+                % ", ".join(f"'{r[f'h{b * 2 + j}']}'" for j in range(2))
+            ).collect()[0]["k"]
+            batch_keys[(r["id"], b)] = key
+    assert stream_keys == batch_keys
