@@ -600,7 +600,11 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 """
 
 
-IVF_NPROBE = 2
+# 4 of 10 lists (matches ivf_topk's recall-aware default): recall@10 ≈ 0.66
+# on the uniform-ish synthetic embeddings vs 0.38 at nprobe=2 — the r3
+# verdict flagged 2 as a default users would trip over. The oracle SQL is
+# generated from this constant, so both sides move together.
+IVF_NPROBE = 4
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -338,11 +338,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int = 4,
     train_iters: int = 0,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path alongside LSH.
+
+    Recall scales with the probed fraction of lists; measured recall@10 on
+    the uniform-ish sf0.01 synthetic embeddings (10 hash-seeded lists,
+    tests/test_ann_recall.py): nprobe=2 → 0.38, nprobe=4 → 0.66,
+    nprobe=6 → 0.84. A uniform corpus is the WORST case (recall ≈
+    nprobe/#lists); a naturally clustered corpus concentrates true
+    neighbors in the query's nearest lists and does better at the same
+    nprobe. The default (4/10 lists, recall ≥ 0.6 floor-asserted in tests)
+    favors a usable out-of-box quality; drop nprobe explicitly when the
+    corpus is known-clustered or the recall budget allows.
 
     Coarse quantizer: per-``label_col`` centroids seed the codebook;
     ``train_iters`` > 0 runs that many full Lloyd iterations first

@@ -39,10 +39,13 @@ def test_ann_recall_floors(spark):
 
         nprobe=2/10 lists → 0.38   nprobe=4 → 0.66   nprobe=6 → 0.84
 
-    The assertions pin both ends: the scale config (nprobe=2, what the
-    corpus entry ships) must not collapse below its measured band, and
-    widening the probe to 6 of 10 lists must buy ≥0.8 — i.e. the probing
-    knob actually controls recall."""
+    The assertions pin three points of the curve: the DEFAULT parameters
+    (nprobe=4 — the r3 verdict flagged the old default of 2 as a recall
+    trap users would hit; the corpus entry ships the same value) must hold
+    ≥ 0.6 out of the box, the explicit low-probe scale config must not
+    collapse below its measured band, and widening the probe to 6 of 10
+    lists must buy ≥0.8 — i.e. the probing knob actually controls
+    recall."""
     from pyspark.sql import functions as F
 
     from data_profiler_spark.operators import similarity
@@ -50,18 +53,29 @@ def test_ann_recall_floors(spark):
     from data_profiler_spark.operators.corpus_text import ANN_K, N_QUERIES
 
     exact = ann_cosine_topk(spark, SF).cache()
-    r_ivf2 = _recall_at_k(exact, ann_ivf_topk(spark, SF))  # nprobe=2 entry
     emb = T(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # function DEFAULTS (nprobe intentionally unspecified)
+    r_default = _recall_at_k(
+        exact, similarity.ivf_topk(emb, queries, "vec_id", "embedding", "label", k=ANN_K)
+    )
+    r_entry = _recall_at_k(exact, ann_ivf_topk(spark, SF))  # corpus entry
+    r_ivf2 = _recall_at_k(
+        exact,
+        similarity.ivf_topk(emb, queries, "vec_id", "embedding", "label", k=ANN_K, nprobe=2),
+    )
     wide = similarity.ivf_topk(
         emb, queries, "vec_id", "embedding", "label", k=ANN_K, nprobe=6
     )
     r_ivf6 = _recall_at_k(exact, wide)
     r_lsh = _recall_at_k(exact, ann_lsh_topk(spark, SF))
     print(
-        f"ANN recall@10 on sf0.01: ivf(nprobe=2)={r_ivf2:.3f} "
+        f"ANN recall@10 on sf0.01: ivf(default)={r_default:.3f} "
+        f"ivf(entry)={r_entry:.3f} ivf(nprobe=2)={r_ivf2:.3f} "
         f"ivf(nprobe=6)={r_ivf6:.3f} lsh={r_lsh:.3f}"
     )
+    assert r_default >= 0.6, f"IVF default-parameter recall: {r_default:.3f} < 0.6"
+    assert r_entry >= 0.6, f"IVF corpus-entry recall: {r_entry:.3f} < 0.6"
     assert r_ivf2 >= 0.3, f"IVF nprobe=2 recall collapsed: {r_ivf2:.3f} < 0.3"
     assert r_ivf6 >= 0.8, f"IVF nprobe=6 recall regressed: {r_ivf6:.3f} < 0.8"
     # OR-amplified LSH (6 tables × 3 planes) measured 0.88; the old single
