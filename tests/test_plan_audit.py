@@ -58,6 +58,17 @@ ALLOWED: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
+# entry -> extra forbidden patterns beyond the global list. hll_distinct's
+# r3 fused agg planned a 6-way Expand (multiple DISTINCT aggregates
+# multiply every scanned row per distinct column — 0.57 s → 2.93 s at
+# sf0.1); the r4 shape is one clean sketch pass + two-level exact aggs, and
+# this pin keeps the Expand from coming back. Expand is NOT globally
+# forbidden: a single multi-countDistinct agg elsewhere may be a deliberate
+# choice.
+EXTRA_FORBIDDEN: dict[str, list[str]] = {
+    "hll_distinct": ["Expand"],
+}
+
 
 @pytest.mark.parametrize("name", list(CORPUS))
 def test_corpus_plan_is_scale_shaped(spark, name):
@@ -65,7 +76,7 @@ def test_corpus_plan_is_scale_shaped(spark, name):
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     allowed = ALLOWED.get(name, [])
-    for pat in FORBIDDEN:
+    for pat in FORBIDDEN + EXTRA_FORBIDDEN.get(name, []):
         if pat in plan and not any(pat == a for a, _ in allowed):
             raise AssertionError(
                 f"{name}: physical plan contains {pat} (not in the declared "
