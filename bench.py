@@ -138,6 +138,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "total_headline_r2_compat_sec": r2_compat,
+        # honesty note on the compat subtotal: BENCH_r02's total ALSO
+        # included psi_drift and text_quality, which have no same-name r3+
+        # counterpart (their supersets drift_scores / text_features do more
+        # work) — so this subtotal under-counts a true r2-equivalent by
+        # those two keys' cost (~2.5 s at r2).
+        "r2_compat_excludes": ["psi_drift", "text_quality"],
         "queries": timings,
         "sf": sf,
         "clips_n": clips_n,

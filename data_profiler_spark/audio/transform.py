@@ -42,6 +42,7 @@ from data_profiler_spark.audio.decode import (
     _binary_slices,
     decode_pcm16,
     encode_pcm16,
+    wav_sample_rate,
 )
 
 # kernel: (pcm float32 in [-1,1], sr) -> (pcm', sr')
@@ -208,7 +209,25 @@ def transform_clips(
             errs: list[str | None] = []
             for i, payload in enumerate(_binary_slices(rb.column(idx["bytes"]))):
                 try:
-                    sr = int(srs[i]) if srs[i] and srs[i] > 0 else 16000
+                    # The sample rate feeds the resample ratio and is baked
+                    # into the re-encoded header — a wrong value here REWRITES
+                    # the payload at silently wrong speed (unlike decode_stats,
+                    # where the same mistake only skews reported stats). So:
+                    # for self-describing codecs the payload header is
+                    # authoritative over the sr_hz column; for headerless
+                    # codecs a missing/invalid sr_hz is a violation row, never
+                    # a silent 16 kHz guess.
+                    if codecs[i] == "pcm16_wav":
+                        sr = wav_sample_rate(bytes(payload[:28]))
+                        if sr <= 0:
+                            raise ValueError(f"invalid wav header sample rate {sr}")
+                    elif srs[i] and int(srs[i]) > 0:
+                        sr = int(srs[i])
+                    else:
+                        raise ValueError(
+                            f"missing/invalid sr_hz={srs[i]!r} for headerless codec "
+                            f"{codecs[i]!r}"
+                        )
                     x = decode_pcm16(payload, codecs[i])
                     y, sr2 = kernel(x, sr)
                     payloads.append(encode_pcm16(y, codecs[i], sr2))

@@ -60,10 +60,13 @@ _oracled_past_window = [
     name for i, (name, (_, sql)) in enumerate(CORPUS.items())
     if i >= _DRIVER_WINDOW and sql is not None
 ]
-assert not _oracled_past_window, (
-    f"oracled corpus entries past the driver's {_DRIVER_WINDOW}-entry "
-    f"window would get no CORRECTNESS row: {_oracled_past_window}"
-)
+# explicit raise, not assert: `python -O` strips asserts, which would
+# silently void the invariant the round-2 verdict demanded.
+if _oracled_past_window:
+    raise RuntimeError(
+        f"oracled corpus entries past the driver's {_DRIVER_WINDOW}-entry "
+        f"window would get no CORRECTNESS row: {_oracled_past_window}"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -27,6 +27,8 @@ are ignored.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import os
 import re
 import zipfile
@@ -97,10 +99,23 @@ def _cell_xml(ref: str, value) -> str:
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    # Decimal (Spark decimal columns) is written as a NUMBER cell — the
+    # deliberate float coercion below keeps the type on the Excel
+    # round-trip (read_xlsx yields float); letting it fall through to
+    # str() would demote every decimal column to inline text.
+    if isinstance(value, _decimal.Decimal):
+        value = float(value)
     if isinstance(value, (int, float)):
         if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
             return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
+    # datetime/date/time (Spark timestamp/date columns) are written as ISO
+    # text DELIBERATELY: serial-date number cells would need a styles.xml
+    # number-format this minimal writer doesn't ship, and a bare number
+    # renders as gibberish. ISO text is lossless and sortable; the coercion
+    # is documented here so it is explicit rather than incidental.
+    if isinstance(value, (_dt.datetime, _dt.date, _dt.time)):
+        value = value.isoformat(sep=" ") if isinstance(value, _dt.datetime) else value.isoformat()
     text = _escape_cell_text(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 

@@ -155,3 +155,47 @@ def test_fir_is_the_operator_default(spark):
     out = resample(df, 16000).collect()[0]  # default quality="fir"
     y = decode_pcm16(out["bytes"], "pcm16_wav")
     assert _snr_db(_tone(3000.0, 16000, 0.25), y) >= 35.0
+
+
+def test_wav_header_rate_overrides_sr_column(spark):
+    """For pcm16_wav the payload header is authoritative: a lying (or null)
+    sr_hz column must NOT change the resample ratio — a wrong rate here
+    would re-encode the payload at silently wrong speed with a clean
+    header. The 8 kHz tone declared as 16 kHz must still resample to the
+    correct length and SNR."""
+    sr_true = 8000
+    x = _tone(440.0, sr_true, 0.5)
+    wav = encode_pcm16_wav(x, sr_true)
+    df = _clips_df(
+        spark,
+        [("lying", wav, 16000, 500, "pcm16_wav"), ("nullsr", wav, None, 500, "pcm16_wav")],
+    )
+    out = {r["clip_id"]: r for r in resample(df, 16000).collect()}
+    for cid in ("lying", "nullsr"):
+        r = out[cid]
+        assert r["transform_err"] is None
+        assert r["sr_hz"] == 16000
+        # 0.5s at the TRUE 8kHz -> 8000 samples at 16kHz (ratio 2x, not 1x)
+        y = decode_pcm16(r["bytes"], "pcm16_wav")
+        assert abs(len(y) - 8000) <= 2
+        truth = _tone(440.0, 16000, 0.5)
+        assert _snr_db(truth[100:-100], y[100:-100]) >= 30.0
+
+
+def test_headerless_missing_sr_is_violation_not_16k_guess(spark):
+    """pcm16_raw has no header: a missing/invalid sr_hz routes to the
+    transform_err violation path instead of silently assuming 16 kHz."""
+    from data_profiler_spark.audio.decode import encode_pcm16_raw
+
+    x = _tone(440.0, 8000, 0.25)
+    raw = encode_pcm16_raw(x)
+    df = _clips_df(
+        spark,
+        [("nosr", raw, None, 250, "pcm16_raw"), ("badsr", raw, -1, 250, "pcm16_raw"),
+         ("ok", raw, 8000, 250, "pcm16_raw")],
+    )
+    out = {r["clip_id"]: r for r in resample(df, 16000).collect()}
+    assert out["ok"]["transform_err"] is None and out["ok"]["sr_hz"] == 16000
+    for cid in ("nosr", "badsr"):
+        assert out[cid]["bytes"] is None
+        assert "sr_hz" in out[cid]["transform_err"]

@@ -270,3 +270,26 @@ def test_foreign_workbook_rless_cells_and_absolute_targets(tmp_path):
     header, rows = read_xlsx_rows(path)
     assert header == ["h1", "h2"]
     assert rows == [["v1", 7]]
+
+
+def test_decimal_and_timestamp_cells_keep_usable_types(spark, tmp_path):
+    """Decimal columns round-trip as NUMBERS (not inline strings); timestamp
+    /date columns are written as ISO text deliberately (documented coercion
+    — no styles.xml in the minimal writer), so they stay lossless and
+    sortable."""
+    df = spark.createDataFrame(
+        [("a", "12345.67", "2026-01-02 03:04:05", "2026-01-02")],
+        "k string, amt string, ts string, d string",
+    ).selectExpr(
+        "k",
+        "cast(amt as decimal(10,2)) amt",
+        "cast(ts as timestamp) ts",
+        "cast(d as date) d",
+    )
+    path = write_xlsx([("t", df)], str(tmp_path / "typed.xlsx"))
+    hdr, rows = read_xlsx_rows(path, "t")
+    assert hdr == ["k", "amt", "ts", "d"]
+    (row,) = rows
+    assert isinstance(row[1], float) and row[1] == 12345.67  # number cell
+    assert row[2] == "2026-01-02 03:04:05"
+    assert row[3] == "2026-01-02"
