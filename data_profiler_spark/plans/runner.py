@@ -154,6 +154,31 @@ class ValidationRun:
         digest = merge_sketch_rows(rows, column=column)
         return {q: digest.quantile(q) for q in qs}
 
+    def global_quantiles_frame(
+        self,
+        qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """:meth:`global_quantiles` for every sketch column, as one report
+        frame (column, quantile, value) — the shape the html/xlsx sinks
+        take. ONE collect of the (metadata-sized) committed sketch table
+        covers all columns; columns with no committed sketches are omitted
+        rather than reported as zeros."""
+        cols = columns or SKETCH_COLUMNS
+        sketch_rows = (
+            self.read_committed("sketches")
+            .filter(F.col("column").isin(list(cols)))
+            .collect()
+        )
+        out_rows: list[tuple] = []
+        for c in cols:
+            digest = merge_sketch_rows(sketch_rows, column=c)
+            if digest.n > 0:
+                out_rows += [(c, float(q), float(digest.quantile(q))) for q in qs]
+        return local_frame(
+            self.spark, out_rows, "column string, quantile double, value double"
+        )
+
     # -- baseline snapshot ---------------------------------------------------
     def write_baseline(self, clips: DataFrame) -> None:
         """Persist the drift baseline: one histogram per DRIFT_COLUMNS column

@@ -216,6 +216,12 @@ def main() -> int:
 
     res = run.run(clips, transcripts=transcripts, limit_partitions=args.limit_partitions)
 
+    if args.html_report or args.xlsx_report:
+        # cross-run table-level quantiles from the merged per-partition
+        # t-digests — includes partitions profiled by earlier (resumed)
+        # runs, which per-run frames above cannot show.
+        gq = run.global_quantiles_frame()
+
     if args.html_report:
         from data_profiler_spark.sinks import render_html_report
 
@@ -223,6 +229,7 @@ def main() -> int:
             [
                 ("verdicts (this run)", res.verdicts),
                 ("per-partition profile", res.profile),
+                ("global quantiles (all committed runs, merged sketches)", gq),
                 ("violations sample", res.violations.limit(100)),
             ]
             + ([("drift vs baseline", res.drift)] if res.drift is not None else []),
@@ -238,6 +245,7 @@ def main() -> int:
             [
                 ("verdicts", res.verdicts),
                 ("profile", res.profile),
+                ("global_quantiles", gq),
                 ("violations", res.violations.limit(100)),
             ]
             + ([("drift", res.drift)] if res.drift is not None else []),
