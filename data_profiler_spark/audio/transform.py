@@ -253,12 +253,21 @@ def transform_clips(
     return clips.select(*cols).mapInArrow(op, schema=out_schema)
 
 
-def resample(clips: DataFrame, target_sr: int, quality: str = "fir", **kw) -> DataFrame:
+def resample(
+    clips: DataFrame, target_sr: int, quality: str = "fir", taps: int = 48, **kw
+) -> DataFrame:
     """quality="fir" (default): anti-aliased windowed-sinc polyphase —
     ~8 ms per 1 s/16 kHz clip, the production kernel. quality="linear":
-    ~3x cheaper, alias-prone above the target Nyquist (see module note)."""
+    ~3x cheaper, alias-prone above the target Nyquist (see module note).
+
+    ``taps`` (fir only) trades stop-band attenuation against group delay
+    and compute: 48 taps ≈ 44 dB measured anti-alias margin on the
+    44.1k→16k fixture (tests/test_audio_transform.py) at ~taps/2 samples
+    of edge latency — the default that passes the SNR≥30dB invariant with
+    headroom. Halving to 24 roughly halves kernel cost per clip; raise it
+    for narrow transition bands. Ignored by the linear kernel."""
     if quality == "fir":
-        return transform_clips(clips, fir_resample_kernel(target_sr), **kw)
+        return transform_clips(clips, fir_resample_kernel(target_sr, taps=taps), **kw)
     if quality == "linear":
         return transform_clips(clips, resample_kernel(target_sr), **kw)
     raise ValueError(f"unknown resample quality {quality!r}")

@@ -87,10 +87,19 @@ def main() -> int:
         default=None,
         metavar="HZ",
         help="resample every clip to HZ before validation (audio/transform "
-        "linear-interp kernel, map-side, payload never shuffled); clips "
+        "anti-aliased FIR kernel, map-side, payload never shuffled); clips "
         "that fail to decode conform to null payloads, which the "
         "audio_decodable check then flags — conform errors surface as "
         "verdicts, not job failures",
+    )
+    ap.add_argument(
+        "--conform-taps",
+        type=int,
+        default=48,
+        metavar="N",
+        help="FIR tap count for --conform-sr: stop-band attenuation vs "
+        "latency+compute (48 ≈ 44 dB anti-alias margin on the 44.1k→16k "
+        "fixture; 24 ≈ half the kernel cost)",
     )
     ap.add_argument(
         "--warmup",
@@ -138,9 +147,9 @@ def main() -> int:
             c for c in clips.columns
             if c not in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
         ]
-        clips = resample(clips, args.conform_sr, passthrough=extra).drop(
-            "transform_err"
-        )
+        clips = resample(
+            clips, args.conform_sr, taps=args.conform_taps, passthrough=extra
+        ).drop("transform_err")
 
     if args.write_input:
         clips.write.mode("overwrite").parquet(f"{args.write_input}/clips")

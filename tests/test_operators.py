@@ -372,3 +372,25 @@ def test_ivf_quantizer_save_load_roundtrip(spark, tmp_io):
     assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, reloaded), key=lambda t: (t[0], t[3])
     )
+
+
+def test_distinct_counts_builder_matches_pandas(spark):
+    """distinct_counts (A8 exact universes) is public engine API but no
+    corpus entry uses it since hll_distinct absorbed the semantics — pin it
+    directly against a pandas nunique oracle so it cannot rot unnoticed."""
+    import pandas as pd
+
+    from data_profiler_spark.operators.corpus_relational import distinct_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["distinct_parts"], r["distinct_supps"], r["distinct_orders"])
+        for r in distinct_counts(spark, sf).collect()
+    }
+    pdf = pd.read_parquet(f"{sf}/lineitem.parquet",
+                          columns=["l_returnflag", "l_partkey", "l_suppkey", "l_orderkey"])
+    want = {
+        flag: (g["l_partkey"].nunique(), g["l_suppkey"].nunique(), g["l_orderkey"].nunique())
+        for flag, g in pdf.groupby("l_returnflag")
+    }
+    assert got == want
