@@ -274,6 +274,7 @@ def lsh_verified_near_dups(
     rows_per_band: int = 2,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The production dedup composition: MinHash-LSH candidate generation
     prunes the pair space (bucketed equi-join, one shuffle for all bands),
@@ -282,10 +283,15 @@ def lsh_verified_near_dups(
     corpus-quadratic (the scale contract ``ngram_jaccard_pairs``' docstring
     promises; this function IS that promised pipeline).
 
+    ``candidates``: pass a precomputed/persisted (id_a, id_b) candidate
+    frame to skip the internal generation — callers that need the candidate
+    count as a metric (the dedup job's per-phase report) compute it once
+    and hand it in instead of signing the corpus twice.
+
     (id_a < id_b, jaccard rounded 6dp) for candidate pairs at or above
     ``threshold``.
     """
-    cand = minhash_lsh_candidates(
+    cand = candidates if candidates is not None else minhash_lsh_candidates(
         df, id_col, text_col, num_hashes=num_hashes,
         rows_per_band=rows_per_band, shingle_k=shingle_k,
     )

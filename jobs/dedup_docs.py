@@ -48,42 +48,93 @@ def main() -> int:
     ap.add_argument("--rows-per-band", type=int, default=2)
     ap.add_argument("--shingle-k", type=int, default=2)
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox)")
+    ap.add_argument(
+        "--replicate",
+        type=int,
+        default=1,
+        metavar="R",
+        help="strain mode: union R deterministic copies of the input with "
+        "remapped ids (copy i>0 gets doc_id || '~r' || i) — every doc "
+        "becomes an exact-dup cluster of R and LSH bucket membership grows "
+        "R-fold (candidate pairs ~R^2 per bucket, the super-linear phase "
+        "to watch; see BENCH/BASELINE.md)",
+    )
     args = ap.parse_args()
+
+    import time
 
     from data_profiler_spark.operators import cluster, dedup
     from data_profiler_spark.session import get_spark
 
     spark = get_spark("dedup_docs", cores=args.cores)
     docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+    if args.replicate > 1:
+        # ids become strings under replication (numeric ids can't carry the
+        # '~rN' copy suffix); component-min canonicals stay deterministic.
+        docs = docs.select(
+            F.col(args.id_col).cast("string").alias(args.id_col), args.text_col
+        )
+        base = docs
+        for i in range(1, args.replicate):
+            docs = docs.unionByName(
+                base.select(
+                    F.concat(F.col(args.id_col), F.lit(f"~r{i}")).alias(args.id_col),
+                    args.text_col,
+                )
+            )
 
     from pyspark.storagelevel import StorageLevel
 
+    phase_sec: dict[str, float] = {}
+    t0 = time.monotonic()
+
+    def mark(label: str) -> None:
+        nonlocal t0
+        now = time.monotonic()
+        phase_sec[label] = round(now - t0, 2)
+        t0 = now
+
     exact = dedup.exact_duplicates(docs, args.id_col, args.text_col)
-    # both pair frames feed the CC loop AND the report counts — persist so
-    # the LSH+Jaccard pipeline runs once, not once per consumer
+    # pair/candidate frames feed the CC loop AND the report counts — persist
+    # so each pipeline stage runs once, not once per consumer; counting the
+    # persisted frame is also what times the phase.
     exact_pairs = (
         exact.filter(F.col("is_dup") == 1)
         .select(F.col("canonical_id").alias("id_a"), F.col("id").alias("id_b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_exact = exact_pairs.count()
+    mark("exact")
+    candidates = dedup.minhash_lsh_candidates(
+        docs,
+        args.id_col,
+        args.text_col,
+        num_hashes=args.num_hashes,
+        rows_per_band=args.rows_per_band,
+        shingle_k=args.shingle_k,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_cand = candidates.count()
+    mark("lsh_candidates")
     near_pairs = (
         dedup.lsh_verified_near_dups(
             docs,
             args.id_col,
             args.text_col,
-            num_hashes=args.num_hashes,
-            rows_per_band=args.rows_per_band,
             shingle_k=args.shingle_k,
             threshold=args.threshold,
+            candidates=candidates,
         )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_near = near_pairs.count()
+    mark("jaccard_verify")
 
     clusters = cluster.duplicate_clusters(
         docs, exact_pairs.unionByName(near_pairs), id_col=args.id_col
     )
     clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    mark("closure_and_write")
 
     clusters_r = spark.read.parquet(f"{args.output}/clusters")
     keep = clusters_r.filter(F.col("is_canonical") == 1).select(
@@ -96,21 +147,25 @@ def main() -> int:
         F.countDistinct("cluster_id").alias("clusters"),
         F.sum(1 - F.col("is_canonical")).alias("dups_dropped"),
     ).first()
+    mark("keep_and_report")
     report = {
         "docs": agg["docs"],
         "clusters": agg["clusters"],
         "dups_dropped": agg["dups_dropped"],
-        "exact_pairs": exact_pairs.count(),
-        "near_pairs": near_pairs.count(),
+        "exact_pairs": n_exact,
+        "lsh_candidates": n_cand,
+        "near_pairs": n_near,
         "threshold": args.threshold,
+        "replicate": args.replicate,
+        "phase_sec": phase_sec,
     }
     from data_profiler_spark.functions.frames import local_frame
 
     local_frame(
         spark,
-        [report],
+        [{k: v for k, v in report.items() if k != "phase_sec"}],
         "docs long, clusters long, dups_dropped long, exact_pairs long, "
-        "near_pairs long, threshold double",
+        "lsh_candidates long, near_pairs long, threshold double, replicate int",
     ).coalesce(1).write.mode("overwrite").json(f"{args.output}/report")
     print(json.dumps(report))
     return 0
