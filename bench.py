@@ -82,13 +82,24 @@ def main() -> int:
     )
     # warm the JVM/codegen once so per-query times are steady-state
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Two executions per query, both reported. Run 1 (queries_first_run)
+    # is the r2/r3-comparable single-shot; run 2 (queries) is steady-state.
+    # Measured r4: the first execution carries 2-4x of per-plan-shape cost
+    # (whole-stage-codegen compile, Python worker spin-up, fresh-page
+    # faults) whose size varies with KERNEL state (DAMON reclaim; see
+    # BENCH/BASELINE.md round-4 findings: pricing_summary 5.05/1.26/1.03s
+    # back-to-back from one build), so the steady-state number is the one
+    # that tracks the ENGINE round over round — and the one that models a
+    # long-running cluster job, where compilation amortizes to zero.
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = CORPUS[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_cumsum_caches()  # output materialized → safe to drop
+        for attempt in (first_run, timings):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            attempt[name] = round(time.time() - t0, 3)
+            release_cumsum_caches()  # output materialized → safe to drop
 
     # domain metric: clips profiled/sec end-to-end. Input is materialized to
     # parquet first (untimed) and SCANNED by the timed run — the production
@@ -130,13 +141,20 @@ def main() -> int:
             clips_wall, clips_per_sec = wall, rate
     timings["clips_validate"] = round(clips_wall, 3)
 
+    first_run["clips_validate"] = timings["clips_validate"]  # already best-of-3
     total = round(sum(timings.values()), 3)
-    r2_compat = round(sum(timings[k] for k in _R2_COMPAT if k in timings)
+    r2_compat = round(sum(first_run[k] for k in _R2_COMPAT if k in first_run)
                       + timings["clips_validate"], 3)
     out = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
+        "methodology": "queries = steady-state (2nd execution); "
+        "queries_first_run = r2/r3-comparable single-shot (1st execution)",
+        "queries_first_run": first_run,
+        "total_headline_first_run_sec": round(sum(first_run.values()), 3),
+        # compat subtotal stays on FIRST-run values — that is what r2/r3
+        # measured
         "total_headline_r2_compat_sec": r2_compat,
         # honesty note on the compat subtotal: BENCH_r02's total ALSO
         # included psi_drift and text_quality, which have no same-name r3+
