@@ -52,6 +52,11 @@ class Corruptions:
     # distribution without touching dur_ms/decoded_ms — the fixture for
     # "drift trips only the shifted column" tests.
     gain_all: float = 1.0
+    # Not a per-k corruption: force every clip to this codec (payload is
+    # encoded accordingly, so decode stays valid). Shifts the codec MIX
+    # without touching any numeric distribution — the categorical-drift
+    # fixture.
+    force_codec: str | None = None
 
 
 CLEAN = Corruptions()
@@ -108,6 +113,8 @@ def _hits(c_every: int, i: int) -> bool:
 
 def make_clip_row(seed: int, i: int, corr: Corruptions = CLEAN) -> dict:
     p = clip_params(seed, i)
+    if corr.force_codec is not None:
+        p = {**p, "codec": corr.force_codec}
     pcm = clip_truth(seed, i)
     if corr.gain_all != 1.0:
         pcm = np.clip(pcm * corr.gain_all, -1.0, 1.0).astype(np.float32)

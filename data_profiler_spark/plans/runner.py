@@ -49,6 +49,7 @@ from data_profiler_spark.drift import drift_from_hist_rows
 from data_profiler_spark.functions.frames import local_frame
 from data_profiler_spark.plans.manifest import Manifest
 from data_profiler_spark.profiling import (
+    categorical_histogram,
     column_profile_collected,
     histogram,
     histograms_multi,
@@ -70,6 +71,10 @@ DUR_HIST_BINS = 40
 # full decode run, same as the Describer profiling every selected column
 # (reference data_profiler.py:523-601), not one hand-picked histogram.
 DRIFT_COLUMNS = ["dur_ms", "decoded_ms", "rms"]
+# Categorical columns scored by category-mix PSI (stable-hash buckets —
+# profiling.categorical_histogram): a codec-mix shift changes decode cost
+# and skew assumptions long before any numeric stat moves.
+DRIFT_CATEGORICALS = ["codec"]
 
 
 @dataclass
@@ -192,7 +197,7 @@ class ValidationRun:
         nbins+1 stays reserved for values genuinely beyond the baseline."""
         stats = decode_stats(
             clips.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms"),
-            passthrough=["dur_ms"],
+            passthrough=["dur_ms", "codec"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             mm = stats.agg(
@@ -205,10 +210,16 @@ class ValidationRun:
                 hi = mm[f"hi_{c}"] if mm[f"hi_{c}"] is not None else lo + 1.0
                 hi = hi + max((hi - lo) * 1e-6, 1e-9)
                 specs[c] = (lo, hi, DUR_HIST_BINS)
-            self.io.overwrite(histograms_multi(stats, specs), "baseline_hist")
+            hist = histograms_multi(stats, specs)
+            for c in DRIFT_CATEGORICALS:
+                hist = hist.unionByName(categorical_histogram(stats, c))
+            self.io.overwrite(hist, "baseline_hist")
+            # nbins=0 marks a categorical column (stable-hash buckets, no
+            # numeric edges) in the persisted meta.
             meta = local_frame(
                 self.spark,
-                [(c, *specs[c]) for c in DRIFT_COLUMNS],
+                [(c, *specs[c]) for c in DRIFT_COLUMNS]
+                + [(c, None, None, 0) for c in DRIFT_CATEGORICALS],
                 "column string, lo double, hi double, nbins int",
             )
             self.io.overwrite(meta, "baseline_meta")
@@ -404,11 +415,17 @@ class ValidationRun:
                 return None
             base_rows = self.io.read(self.spark, "baseline_hist").collect()
             if self.io.exists(self.spark, "baseline_meta"):
+                meta_rows = self.io.read(self.spark, "baseline_meta").collect()
                 specs = {
                     r["column"]: (r["lo"], r["hi"], r["nbins"])
-                    for r in self.io.read(self.spark, "baseline_meta").collect()
+                    for r in meta_rows
+                    if r["nbins"] > 0
                 }
-                cur_rows = histograms_multi(stats, specs).collect()
+                cur = histograms_multi(stats, specs)
+                for r in meta_rows:
+                    if r["nbins"] == 0:  # categorical (stable-hash buckets)
+                        cur = cur.unionByName(categorical_histogram(stats, r["column"]))
+                cur_rows = cur.collect()
             else:
                 cur_rows = histogram(
                     stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS

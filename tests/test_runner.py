@@ -78,8 +78,9 @@ def test_clean_run_passes_and_drift(spark, tmp_io):
     assert res.all_passed
     assert res.drift is not None
     rows = {r["column"]: r for r in res.drift.collect()}
-    # the drift gate scores EVERY baseline column, not one hand-picked one
-    assert set(rows) >= {"dur_ms", "decoded_ms", "rms"}
+    # the drift gate scores EVERY baseline column (numeric + categorical),
+    # not one hand-picked histogram
+    assert set(rows) >= {"dur_ms", "decoded_ms", "rms", "codec"}
     for c, d in rows.items():
         assert d["psi_passed"] and d["ks_passed"], c
 
@@ -99,6 +100,24 @@ def test_drift_trips_only_shifted_column(spark, tmp_io):
     assert not rows["rms"]["psi_passed"]
     assert rows["dur_ms"]["psi_passed"] and rows["dur_ms"]["ks_passed"]
     assert rows["decoded_ms"]["psi_passed"] and rows["decoded_ms"]["ks_passed"]
+    assert rows["codec"]["psi_passed"]  # gain does not move the codec mix
+
+
+def test_codec_mix_shift_trips_only_codec_drift(spark, tmp_io):
+    """Forcing every clip to one codec (payload re-encoded accordingly, so
+    every numeric distribution is untouched) must FAIL only the categorical
+    codec drift row."""
+    clean = fixtures.generate_clips(spark, N, seed=SEED)
+    raw_only = fixtures.generate_clips(
+        spark, N, seed=SEED, corruptions=fixtures.Corruptions(force_codec="pcm16_raw")
+    )
+    run = ValidationRun(spark, tmp_io, n_partitions=PARTS)
+    run.write_baseline(clean)
+    res = run.run(raw_only)
+    rows = {r["column"]: r for r in res.drift.collect()}
+    assert not rows["codec"]["psi_passed"]
+    for c in ("dur_ms", "decoded_ms", "rms"):
+        assert rows[c]["psi_passed"] and rows[c]["ks_passed"], c
 
 
 def test_resume_from_manifest(spark, tmp_io):
