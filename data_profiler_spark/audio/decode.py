@@ -72,8 +72,28 @@ def decode_pcm16(payload: bytes | memoryview, codec: str) -> np.ndarray:
     return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
 
 
-def wav_sample_rate(payload: bytes) -> int:
-    return struct.unpack("<I", payload[24:28])[0]
+def wav_sample_rate(payload: bytes | memoryview) -> int:
+    """Sample rate from a RIFF/WAVE header, by walking chunks to 'fmt '
+    (same container walk as decode_pcm16's search for 'data') — NOT a fixed
+    byte-24 read: a legal WAV may carry chunks before 'fmt ', and a blind
+    offset read would return an arbitrary positive integer that callers
+    (the transform resample ratio) would then trust. Raises ValueError on
+    anything that is not a well-formed header with a positive rate."""
+    if payload is None or len(payload) < 12 or bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    while off + 8 <= len(payload):
+        cid = bytes(payload[off : off + 4])
+        size = struct.unpack("<I", bytes(payload[off + 4 : off + 8]))[0]
+        if cid == b"fmt ":
+            if size < 16 or off + 8 + 16 > len(payload):
+                raise ValueError("truncated fmt chunk")
+            sr = struct.unpack("<I", bytes(payload[off + 12 : off + 16]))[0]
+            if sr <= 0:
+                raise ValueError(f"invalid wav header sample rate {sr}")
+            return sr
+        off += 8 + size + (size & 1)
+    raise ValueError("no fmt chunk")
 
 
 def encode_pcm16_wav(pcm: np.ndarray, sr: int) -> bytes:

@@ -218,9 +218,7 @@ def transform_clips(
                     # codecs a missing/invalid sr_hz is a violation row, never
                     # a silent 16 kHz guess.
                     if codecs[i] == "pcm16_wav":
-                        sr = wav_sample_rate(bytes(payload[:28]))
-                        if sr <= 0:
-                            raise ValueError(f"invalid wav header sample rate {sr}")
+                        sr = wav_sample_rate(payload)  # walks chunks; raises on bad header
                     elif srs[i] and int(srs[i]) > 0:
                         sr = int(srs[i])
                     else:

@@ -791,7 +791,11 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__e"),
     ).select("l_returnflag", F.col("__e.u").alias("__u"), F.col("__e.key").alias("__key"))
     exacts = (
-        exploded.distinct()
+        # null keys dropped to match COUNT(DISTINCT ...) / the replaced
+        # countDistinct (the explode keeps a (group, universe, NULL) row
+        # that distinct+count would otherwise tally)
+        exploded.filter(F.col("__key").isNotNull())
+        .distinct()
         .groupBy("l_returnflag")
         .agg(
             F.count(F.when(F.col("__u") == "p", 1)).alias("exact_parts"),

@@ -210,19 +210,25 @@ class ValidationRun:
                 hi = mm[f"hi_{c}"] if mm[f"hi_{c}"] is not None else lo + 1.0
                 hi = hi + max((hi - lo) * 1e-6, 1e-9)
                 specs[c] = (lo, hi, DUR_HIST_BINS)
+            # Both tables carry the same baseline_id: they are two
+            # non-atomic overwrites, and a crash between them would
+            # otherwise pair a new histogram with stale (or missing) edges —
+            # bucket ids silently meaning different intervals. job_drift
+            # refuses mismatched ids instead of scoring garbage.
+            bid = uuid.uuid4().hex[:16]
             hist = histograms_multi(stats, specs)
             for c in DRIFT_CATEGORICALS:
                 hist = hist.unionByName(categorical_histogram(stats, c))
-            self.io.overwrite(hist, "baseline_hist")
-            # nbins=0 marks a categorical column (stable-hash buckets, no
-            # numeric edges) in the persisted meta.
+            # meta FIRST: a crash after meta-only leaves baseline_hist
+            # absent → drift is skipped entirely (the safe failure).
             meta = local_frame(
                 self.spark,
-                [(c, *specs[c]) for c in DRIFT_COLUMNS]
-                + [(c, None, None, 0) for c in DRIFT_CATEGORICALS],
-                "column string, lo double, hi double, nbins int",
+                [(c, *specs[c], bid) for c in DRIFT_COLUMNS]
+                + [(c, None, None, 0, bid) for c in DRIFT_CATEGORICALS],
+                "column string, lo double, hi double, nbins int, baseline_id string",
             )
             self.io.overwrite(meta, "baseline_meta")
+            self.io.overwrite(hist.select(F.lit(bid).alias("baseline_id"), "*"), "baseline_hist")
         finally:
             stats.unpersist()
 
@@ -416,6 +422,22 @@ class ValidationRun:
             base_rows = self.io.read(self.spark, "baseline_hist").collect()
             if self.io.exists(self.spark, "baseline_meta"):
                 meta_rows = self.io.read(self.spark, "baseline_meta").collect()
+                hist_ids = {
+                    r["baseline_id"]
+                    for r in base_rows
+                    if "baseline_id" in r.__fields__
+                }
+                meta_ids = {
+                    r["baseline_id"]
+                    for r in meta_rows
+                    if "baseline_id" in r.__fields__
+                }
+                if hist_ids and meta_ids and hist_ids != meta_ids:
+                    raise RuntimeError(
+                        "baseline_hist/baseline_meta carry different baseline_ids "
+                        f"({hist_ids} vs {meta_ids}) — write_baseline crashed "
+                        "between its two table writes; re-run write_baseline"
+                    )
                 specs = {
                     r["column"]: (r["lo"], r["hi"], r["nbins"])
                     for r in meta_rows

@@ -300,6 +300,15 @@ def histograms_multi(
     struct field.
     """
     group_cols = group_cols or []
+    if not specs:  # e.g. a baseline_meta holding only categorical columns
+        gc_ddl = "".join(
+            f"{f.name} {f.dataType.simpleString()}, "
+            for f in df.schema.fields
+            if f.name in group_cols
+        )
+        return df.sparkSession.createDataFrame(
+            [], gc_ddl + "column string, bucket int, lo double, hi double, count long"
+        )
     edges: dict[str, tuple[float, float, int, float]] = {}
     for c, (lo, hi, nb) in specs.items():
         lo, hi = float(lo), float(hi)

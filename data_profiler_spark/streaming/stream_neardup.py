@@ -98,10 +98,21 @@ def band_keys_per_row(
     no shingles and are dropped, matching the batch path (no signature row
     from an empty explode).
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"),
+    # doc_id cast to string up front: OUT_SCHEMA declares string, and the
+    # stateful function compares incoming ids against state-held strings —
+    # an uncast long id would never equal its own stored claim and
+    # self-mark. tokens() materialized behind its own projection boundary
+    # per word_shingles_of's contract (inlined, the tokenizer re-evaluates
+    # once per shingle index — measured 12x).
+    toks_df = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
         F.col(event_time_col).alias("event_time"),
-        F.array_distinct(word_shingles_of(tokens(text_col), shingle_k)).alias("__sh"),
+        tokens(text_col).alias("__toks"),
+    )
+    shingled = toks_df.select(
+        "doc_id",
+        "event_time",
+        F.array_distinct(word_shingles_of(F.col("__toks"), shingle_k)).alias("__sh"),
     ).filter(F.size("__sh") > 0)
 
     def _hash_at(seed: int):

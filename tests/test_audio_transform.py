@@ -199,3 +199,33 @@ def test_headerless_missing_sr_is_violation_not_16k_guess(spark):
     for cid in ("nosr", "badsr"):
         assert out[cid]["bytes"] is None
         assert "sr_hz" in out[cid]["transform_err"]
+
+
+def test_wav_header_rate_walks_chunks(spark):
+    """wav_sample_rate must parse the fmt chunk wherever it sits — a legal
+    WAV carrying a chunk before 'fmt ' decodes fine, so a fixed byte-24
+    read would return garbage that the resample ratio then trusts."""
+    import struct
+
+    import pytest
+
+    from data_profiler_spark.audio.decode import wav_sample_rate
+
+    sr_true = 8000
+    x = _tone(440.0, sr_true, 0.1)
+    canonical = encode_pcm16_wav(x, sr_true)
+    # splice a LIST chunk between 'WAVE' and 'fmt ' (still a legal RIFF)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = canonical[12:]
+    size = len(extra) + len(body) + 4
+    weird = b"RIFF" + struct.pack("<I", size) + b"WAVE" + extra + body
+    assert wav_sample_rate(canonical) == sr_true
+    assert wav_sample_rate(weird) == sr_true
+    # and the full transform pipeline still resamples it at the true rate
+    df = _clips_df(spark, [("weird", weird, None, 100, "pcm16_wav")])
+    (row,) = resample(df, 16000).collect()
+    assert row["transform_err"] is None and row["sr_hz"] == 16000
+    with pytest.raises(ValueError):
+        wav_sample_rate(b"RIFF\x00\x00\x00\x00WAVEjunk")  # no fmt chunk
+    with pytest.raises(ValueError):
+        wav_sample_rate(b"not audio at all")

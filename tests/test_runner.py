@@ -211,3 +211,35 @@ def test_salt_modes_agree(spark, tmp_io, corrupted, mode):
         assert va == vb
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_mismatched_baseline_tables_refuse_to_score(spark, tmp_io):
+    """write_baseline is two table writes; if a crash pairs a histogram with
+    another write's edges, job_drift must refuse loudly, not score garbage
+    buckets."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    clips = fixtures.generate_clips(spark, 80, seed=SEED)
+    run = ValidationRun(spark, tmp_io, n_partitions=4)
+    run.write_baseline(clips)
+    # simulate the crash: replace baseline_meta with one from ANOTHER write
+    # (materialize first — overwriting a table from a lazy read of itself
+    # deletes the files out from under the scan)
+    old = tmp_io.read(spark, "baseline_meta")
+    rows = [r.asDict() for r in old.collect()]
+    for r in rows:
+        r["baseline_id"] = "deadbeefdeadbeef"
+    meta = spark.createDataFrame(rows, old.schema)
+    tmp_io.overwrite(meta, "baseline_meta")
+    with pytest.raises(RuntimeError, match="baseline_id"):
+        run.run(clips)
+
+
+def test_histograms_multi_empty_specs_returns_empty_frame(spark):
+    from data_profiler_spark.profiling import histograms_multi
+
+    df = spark.range(5).selectExpr("id", "cast(id as double) v")
+    out = histograms_multi(df, {})
+    assert out.count() == 0
+    assert out.columns == ["column", "bucket", "lo", "hi", "count"]

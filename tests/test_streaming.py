@@ -446,3 +446,19 @@ def test_stream_band_keys_match_batch_lsh(spark):
             ).collect()[0]["k"]
             batch_keys[(r["id"], b)] = key
     assert stream_keys == batch_keys
+
+
+def test_stream_band_keys_cast_long_ids_to_string(spark):
+    """A long id column must come out of band_keys_per_row as STRING (the
+    OUT_SCHEMA/state contract) — uncast, a doc's own re-arrival would never
+    equal its state-held claim and it would mark itself."""
+    import pandas as pd
+
+    from data_profiler_spark.streaming.stream_neardup import band_keys_per_row
+
+    pdf = pd.DataFrame({"doc_id": [7], "text": ["one two three four five"]})
+    pdf["event_time"] = pd.to_datetime("2026-01-01")
+    df = spark.createDataFrame(pdf, "doc_id long, text string, event_time timestamp")
+    out = band_keys_per_row(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in out.collect()} == {"7"}
