@@ -101,11 +101,19 @@ SELECT id_a, id_b FROM cand
 # --- transitive-closure duplicate clustering (operators/cluster.py) ---------
 
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components (alternating large-star/small-star) over the
-    MinHash-LSH candidate graph, singleton-filled from the full corpus:
-    every doc gets (cluster_id = component min, cluster_size, is_canonical).
-    Same LSH params as dedup_minhash_lsh, so the two entries share their
-    candidate set and triangulate."""
+    """Connected components over the MinHash-LSH candidate graph,
+    singleton-filled from the full corpus: every doc gets (cluster_id =
+    component min, cluster_size, is_canonical). Same LSH params as
+    dedup_minhash_lsh, so the two entries share their candidate set and
+    triangulate.
+
+    Coverage note: at corpus scales the candidate graph is under
+    connected_components' hybrid threshold, so THIS oracle exercises the
+    bounded driver union-find path; the distributed large-star/small-star
+    loop is pinned by tests that force small_graph_edges=0
+    (test_cluster.py: chain/ring/property/hybrid-agreement) and by the
+    2M-edge strain run in BENCH/BASELINE.md. Both paths produce identical
+    component-min labels by contract and by test."""
     docs = T(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(
         docs,
