@@ -306,241 +306,260 @@ class ValidationRun:
             transcripts.count()
 
         mark("decode+persist")
-        # -- constraint checks (names drive the verdict grid) ----------------
-        # Row-level checks fuse into ONE scan of stats (no joins); only
-        # uniqueness (groupBy) and the two referential directions (anti-joins)
-        # add exchanges. Minimizing job/stage count matters at both ends of
-        # the scale: locally each job has fixed overhead, on a cluster each
-        # pass over 10^12 rows is the cost unit.
-        n = self.n_partitions
-        key = F.col("clip_id")
-        row_specs = [
-            (
-                "pk_not_null",
-                key.isNull() | (F.trim(key) == ""),
-                F.lit("null or empty primary key"),
-            ),
-            (
-                "audio_decodable",
-                ~F.col("decode_ok"),
-                F.coalesce(F.col("decode_err"), F.lit("decode failed")),
-            ),
-            (
-                "dur_ms_consistent",
-                F.col("decode_ok")
-                & (F.abs(F.col("dur_ms") - F.col("decoded_ms")) > self.dur_tol_ms),
-                F.concat(
-                    F.lit("declared dur_ms="),
-                    F.col("dur_ms").cast("string"),
-                    F.lit(" decoded_ms="),
-                    F.round("decoded_ms", 1).cast("string"),
+        # The whole post-persist tail runs under try/finally: any
+        # raising path (a failed tail job, the baseline_id mismatch
+        # guard, a sink write) must not leak the MEMORY_AND_DISK
+        # stats/transcripts caches into the rest of the session. The
+        # violations cache DELIBERATELY outlives a successful run (it is
+        # returned in RunResult and read by callers), so it is dropped on
+        # the except path only.
+        _viol_cache = None
+        try:
+            # -- constraint checks (names drive the verdict grid) ----------------
+            # Row-level checks fuse into ONE scan of stats (no joins); only
+            # uniqueness (groupBy) and the two referential directions (anti-joins)
+            # add exchanges. Minimizing job/stage count matters at both ends of
+            # the scale: locally each job has fixed overhead, on a cluster each
+            # pass over 10^12 rows is the cost unit.
+            n = self.n_partitions
+            key = F.col("clip_id")
+            row_specs = [
+                (
+                    "pk_not_null",
+                    key.isNull() | (F.trim(key) == ""),
+                    F.lit("null or empty primary key"),
                 ),
-            ),
-            (
-                "transcript_not_null",
-                F.col("transcript").isNull() | (F.trim(F.col("transcript")) == ""),
-                F.lit("null or empty transcript"),
-            ),
-        ]
-        check_names = [s[0] for s in row_specs] + ["pk_unique"]
-        branches = [
-            row_level_violations(stats, row_specs),
-            check_unique(stats, n_partitions=n),
-        ]
-        if transcripts is not None:
-            check_names += ["clip_has_transcript", "transcript_has_clip"]
-            branches.append(
-                check_referential(stats, transcripts, key="clip_id",
-                                  name="clip_has_transcript",
-                                  detail="clip has no transcript row",
-                                  n_partitions=n))
-            branches.append(
-                check_referential(transcripts, stats, key="clip_id",
-                                  name="transcript_has_clip",
-                                  detail="transcript row has no clip",
-                                  n_partitions=n))
-        all_violations = branches[0]
-        for v in branches[1:]:
-            all_violations = all_violations.unionByName(v)
-        all_violations = all_violations.persist(StorageLevel.MEMORY_AND_DISK)
-
-        # -- commit outputs, then the manifest (crash-safe ordering): every
-        # output row carries this run's snapshot id; a crash before the
-        # manifest commit leaves orphan rows that reads filter out by
-        # joining on manifest snapshot ids.
-        snap = uuid.uuid4().hex[:16]
-        tag = F.lit(snap).alias("snapshot_id")
-
-        # The post-decode tail is several INDEPENDENT jobs over the same
-        # persisted stats cache (violations, per-partition totals, profile
-        # agg, drift histogram). Run them concurrently from driver threads —
-        # Spark schedules concurrent jobs fine, idle cores pick up the next
-        # job's tasks — instead of serializing ~5 small jobs' full latency.
-        # The verdict grid (explicit PASS rows for clean partitions,
-        # DataFiles.py:52-77 semantics) is assembled driver-side: it is
-        # |checks|×|partitions| rows of metadata, and building it as a
-        # crossJoin+left-join DAG costs more in planning than the data is
-        # worth at any scale.
-        def job_violations():
-            # write first (fills the cache), then count off the cache
-            self.io.append(all_violations.select(tag, "*"), "violations")
-            return {
-                (r["check_name"], r["partition_id"]): r["n"]
-                for r in all_violations.groupBy("check_name", "partition_id")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-
-        def job_totals():
-            return (
-                stats.groupBy("partition_id")
-                .agg(F.count(F.lit(1)).alias("rows_checked"))
-                .collect()
-            )
-
-        def job_profile():
-            # whole per-partition profile as ONE fused wide agg over stats
-            # (clip scalars + decoded-audio metrics together), melted
-            # driver-side.
-            return column_profile_collected(
-                stats,
-                PROFILE_COLUMNS + STATS_PROFILE_COLUMNS,
-                group_cols=["partition_id"],
-            )
-
-        def job_drift():
-            # Per-column histograms vs baseline → PSI + binned-KS per
-            # DRIFT_COLUMNS column. Current histograms are binned with the
-            # BASELINE's persisted edges (baseline_meta) — all columns in one
-            # scan of the stats cache. The histogram aggregations run
-            # distributed; the comparison is ≤ nbins+2 rows per column, so it
-            # is computed driver-side (drift_from_hist_rows) instead of as
-            # two join DAGs. Pre-meta baselines (dur_ms only, fixed edges)
-            # keep working via the legacy fallback.
-            if not self.io.exists(self.spark, "baseline_hist"):
-                return None
-            base_rows = self.io.read(self.spark, "baseline_hist").collect()
-            if self.io.exists(self.spark, "baseline_meta"):
-                meta_rows = self.io.read(self.spark, "baseline_meta").collect()
-                hist_ids = {
-                    r["baseline_id"]
-                    for r in base_rows
-                    if "baseline_id" in r.__fields__
-                }
-                meta_ids = {
-                    r["baseline_id"]
-                    for r in meta_rows
-                    if "baseline_id" in r.__fields__
-                }
-                if hist_ids and meta_ids and hist_ids != meta_ids:
-                    raise RuntimeError(
-                        "baseline_hist/baseline_meta carry different baseline_ids "
-                        f"({hist_ids} vs {meta_ids}) — write_baseline crashed "
-                        "between its two table writes; re-run write_baseline"
-                    )
-                specs = {
-                    r["column"]: (r["lo"], r["hi"], r["nbins"])
-                    for r in meta_rows
-                    if r["nbins"] > 0
-                }
-                cur = histograms_multi(stats, specs)
-                for r in meta_rows:
-                    if r["nbins"] == 0:  # categorical (stable-hash buckets)
-                        cur = cur.unionByName(categorical_histogram(stats, r["column"]))
-                cur_rows = cur.collect()
-            else:
-                cur_rows = histogram(
-                    stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
-                ).collect()
-            return [
-                {
-                    **d,
-                    "psi_passed": d["psi"] <= self.psi_threshold,
-                    "ks_passed": d["ks_d"] <= self.ks_threshold,
-                }
-                for d in drift_from_hist_rows(cur_rows, base_rows)
+                (
+                    "audio_decodable",
+                    ~F.col("decode_ok"),
+                    F.coalesce(F.col("decode_err"), F.lit("decode failed")),
+                ),
+                (
+                    "dur_ms_consistent",
+                    F.col("decode_ok")
+                    & (F.abs(F.col("dur_ms") - F.col("decoded_ms")) > self.dur_tol_ms),
+                    F.concat(
+                        F.lit("declared dur_ms="),
+                        F.col("dur_ms").cast("string"),
+                        F.lit(" decoded_ms="),
+                        F.round("decoded_ms", 1).cast("string"),
+                    ),
+                ),
+                (
+                    "transcript_not_null",
+                    F.col("transcript").isNull() | (F.trim(F.col("transcript")) == ""),
+                    F.lit("null or empty transcript"),
+                ),
             ]
+            check_names = [s[0] for s in row_specs] + ["pk_unique"]
+            branches = [
+                row_level_violations(stats, row_specs),
+                check_unique(stats, n_partitions=n),
+            ]
+            if transcripts is not None:
+                check_names += ["clip_has_transcript", "transcript_has_clip"]
+                branches.append(
+                    check_referential(stats, transcripts, key="clip_id",
+                                      name="clip_has_transcript",
+                                      detail="clip has no transcript row",
+                                      n_partitions=n))
+                branches.append(
+                    check_referential(transcripts, stats, key="clip_id",
+                                      name="transcript_has_clip",
+                                      detail="transcript row has no clip",
+                                      n_partitions=n))
+            all_violations = branches[0]
+            for v in branches[1:]:
+                all_violations = all_violations.unionByName(v)
+            all_violations = all_violations.persist(StorageLevel.MEMORY_AND_DISK)
+            _viol_cache = all_violations
 
-        def job_sketches():
-            # mergeable per-partition quantile sketches (profiling/tdigest)
-            self.io.append(
-                sketch_by_group(stats, SKETCH_COLUMNS).select(tag, "*"), "sketches"
+            # -- commit outputs, then the manifest (crash-safe ordering): every
+            # output row carries this run's snapshot id; a crash before the
+            # manifest commit leaves orphan rows that reads filter out by
+            # joining on manifest snapshot ids.
+            snap = uuid.uuid4().hex[:16]
+            tag = F.lit(snap).alias("snapshot_id")
+
+            # The post-decode tail is several INDEPENDENT jobs over the same
+            # persisted stats cache (violations, per-partition totals, profile
+            # agg, drift histogram). Run them concurrently from driver threads —
+            # Spark schedules concurrent jobs fine, idle cores pick up the next
+            # job's tasks — instead of serializing ~5 small jobs' full latency.
+            # The verdict grid (explicit PASS rows for clean partitions,
+            # DataFiles.py:52-77 semantics) is assembled driver-side: it is
+            # |checks|×|partitions| rows of metadata, and building it as a
+            # crossJoin+left-join DAG costs more in planning than the data is
+            # worth at any scale.
+            def job_violations():
+                # write first (fills the cache), then count off the cache
+                self.io.append(all_violations.select(tag, "*"), "violations")
+                return {
+                    (r["check_name"], r["partition_id"]): r["n"]
+                    for r in all_violations.groupBy("check_name", "partition_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+
+            def job_totals():
+                return (
+                    stats.groupBy("partition_id")
+                    .agg(F.count(F.lit(1)).alias("rows_checked"))
+                    .collect()
+                )
+
+            def job_profile():
+                # whole per-partition profile as ONE fused wide agg over stats
+                # (clip scalars + decoded-audio metrics together), melted
+                # driver-side.
+                return column_profile_collected(
+                    stats,
+                    PROFILE_COLUMNS + STATS_PROFILE_COLUMNS,
+                    group_cols=["partition_id"],
+                )
+
+            def job_drift():
+                # Per-column histograms vs baseline → PSI + binned-KS per
+                # DRIFT_COLUMNS column. Current histograms are binned with the
+                # BASELINE's persisted edges (baseline_meta) — all columns in one
+                # scan of the stats cache. The histogram aggregations run
+                # distributed; the comparison is ≤ nbins+2 rows per column, so it
+                # is computed driver-side (drift_from_hist_rows) instead of as
+                # two join DAGs. Pre-meta baselines (dur_ms only, fixed edges)
+                # keep working via the legacy fallback.
+                if not self.io.exists(self.spark, "baseline_hist"):
+                    return None
+                base_rows = self.io.read(self.spark, "baseline_hist").collect()
+                if self.io.exists(self.spark, "baseline_meta"):
+                    meta_rows = self.io.read(self.spark, "baseline_meta").collect()
+                    hist_ids = {
+                        r["baseline_id"]
+                        for r in base_rows
+                        if "baseline_id" in r.__fields__
+                    }
+                    meta_ids = {
+                        r["baseline_id"]
+                        for r in meta_rows
+                        if "baseline_id" in r.__fields__
+                    }
+                    # ANY asymmetry is a mismatch — including one table stamped
+                    # and the other pre-stamping-era (a new-code write_baseline
+                    # that crashed after meta left exactly that state).
+                    if (hist_ids or meta_ids) and hist_ids != meta_ids:
+                        raise RuntimeError(
+                            "baseline_hist/baseline_meta carry different baseline_ids "
+                            f"({hist_ids or '{legacy}'} vs {meta_ids or '{legacy}'}) — "
+                            "write_baseline crashed between its two table writes; "
+                            "re-run write_baseline"
+                        )
+                    specs = {
+                        r["column"]: (r["lo"], r["hi"], r["nbins"])
+                        for r in meta_rows
+                        if r["nbins"] > 0
+                    }
+                    cur = histograms_multi(stats, specs)
+                    for r in meta_rows:
+                        if r["nbins"] == 0:  # categorical (stable-hash buckets)
+                            cur = cur.unionByName(categorical_histogram(stats, r["column"]))
+                    cur_rows = cur.collect()
+                else:
+                    cur_rows = histogram(
+                        stats, "dur_ms", lo=0.0, hi=16000.0, nbins=DUR_HIST_BINS
+                    ).collect()
+                return [
+                    {
+                        **d,
+                        "psi_passed": d["psi"] <= self.psi_threshold,
+                        "ks_passed": d["ks_d"] <= self.ks_threshold,
+                    }
+                    for d in drift_from_hist_rows(cur_rows, base_rows)
+                ]
+
+            def job_sketches():
+                # mergeable per-partition quantile sketches (profiling/tdigest)
+                self.io.append(
+                    sketch_by_group(stats, SKETCH_COLUMNS).select(tag, "*"), "sketches"
+                )
+
+            with ThreadPoolExecutor(max_workers=5) as pool:
+                f_counts = pool.submit(job_violations)
+                f_totals = pool.submit(job_totals)
+                f_prof = pool.submit(job_profile)
+                f_drift = pool.submit(job_drift)
+                f_sketch = pool.submit(job_sketches)
+                counts = f_counts.result()
+                totals_rows = f_totals.result()
+                prof_rows = f_prof.result()
+                drift_rows = f_drift.result()
+                f_sketch.result()
+            mark("parallel tail (violations+totals+profile+drift+sketches)")
+
+            verdict_rows = [
+                {
+                    "check_name": c,
+                    "partition_id": t["partition_id"],
+                    "passed": counts.get((c, t["partition_id"]), 0) == 0,
+                    "violation_count": int(counts.get((c, t["partition_id"]), 0)),
+                    "rows_checked": int(t["rows_checked"]),
+                    "detail": None,
+                }
+                for c in check_names
+                for t in totals_rows
+            ]
+            # local_frame (Arrow path): a plain createDataFrame of Python rows
+            # is RDD-backed and re-enters Python workers on every write (~4s per
+            # tiny metadata write measured on this sandbox).
+            verdict_df = local_frame(self.spark, verdict_rows, VERDICT_SCHEMA)
+            self.io.append(verdict_df.coalesce(1).select(tag, "*"), "verdicts")
+            mark("verdict write")
+
+            profile = local_frame(
+                self.spark, prof_rows, "partition_id int, column string, metric string, value double"
             )
+            self.io.append(profile.coalesce(1).select(tag, "*"), "profile")
+            mark("profile write")
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            f_counts = pool.submit(job_violations)
-            f_totals = pool.submit(job_totals)
-            f_prof = pool.submit(job_profile)
-            f_drift = pool.submit(job_drift)
-            f_sketch = pool.submit(job_sketches)
-            counts = f_counts.result()
-            totals_rows = f_totals.result()
-            prof_rows = f_prof.result()
-            drift_rows = f_drift.result()
-            f_sketch.result()
-        mark("parallel tail (violations+totals+profile+drift+sketches)")
+            drift = None
+            if drift_rows is not None:
+                drift = local_frame(
+                    self.spark, drift_rows,
+                    "column string, psi double, ks_d double, psi_passed boolean, ks_passed boolean",
+                )
+                self.io.append(drift.coalesce(1).select(tag, "*"), "drift")
+            mark("drift")
+            per_part: dict[int, int] = {}
+            viol_per_part: dict[int, int] = {}
+            all_passed = True
+            for r in verdict_rows:
+                p = r["partition_id"]
+                per_part[p] = r["rows_checked"]
+                viol_per_part[p] = viol_per_part.get(p, 0) + int(r["violation_count"])
+                if not r["passed"]:
+                    all_passed = False
+            rows = int(sum(per_part.values()))
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            part_stats = [
+                {
+                    "partition_id": p,
+                    "rows": per_part.get(p, 0),
+                    "metrics": {
+                        "violations": int(viol_per_part.get(p, 0)),
+                        **(extra_metrics or {}),
+                    },
+                }
+                for p in pending
+            ]
+            self.manifest.commit(part_stats, snap, wall_ms)
 
-        verdict_rows = [
-            {
-                "check_name": c,
-                "partition_id": t["partition_id"],
-                "passed": counts.get((c, t["partition_id"]), 0) == 0,
-                "violation_count": int(counts.get((c, t["partition_id"]), 0)),
-                "rows_checked": int(t["rows_checked"]),
-                "detail": None,
-            }
-            for c in check_names
-            for t in totals_rows
-        ]
-        # local_frame (Arrow path): a plain createDataFrame of Python rows
-        # is RDD-backed and re-enters Python workers on every write (~4s per
-        # tiny metadata write measured on this sandbox).
-        verdict_df = local_frame(self.spark, verdict_rows, VERDICT_SCHEMA)
-        self.io.append(verdict_df.coalesce(1).select(tag, "*"), "verdicts")
-        mark("verdict write")
-
-        profile = local_frame(
-            self.spark, prof_rows, "partition_id int, column string, metric string, value double"
-        )
-        self.io.append(profile.coalesce(1).select(tag, "*"), "profile")
-        mark("profile write")
-
-        drift = None
-        if drift_rows is not None:
-            drift = local_frame(
-                self.spark, drift_rows,
-                "column string, psi double, ks_d double, psi_passed boolean, ks_passed boolean",
-            )
-            self.io.append(drift.coalesce(1).select(tag, "*"), "drift")
-        mark("drift")
-        per_part: dict[int, int] = {}
-        viol_per_part: dict[int, int] = {}
-        all_passed = True
-        for r in verdict_rows:
-            p = r["partition_id"]
-            per_part[p] = r["rows_checked"]
-            viol_per_part[p] = viol_per_part.get(p, 0) + int(r["violation_count"])
-            if not r["passed"]:
-                all_passed = False
-        rows = int(sum(per_part.values()))
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        part_stats = [
-            {
-                "partition_id": p,
-                "rows": per_part.get(p, 0),
-                "metrics": {
-                    "violations": int(viol_per_part.get(p, 0)),
-                    **(extra_metrics or {}),
-                },
-            }
-            for p in pending
-        ]
-        self.manifest.commit(part_stats, snap, wall_ms)
-
-        mark("manifest commit")
-        stats.unpersist()
-        if transcripts is not None:
-            transcripts.unpersist()
+            mark("manifest commit")
+        except BaseException:
+            if _viol_cache is not None:
+                _viol_cache.unpersist()
+            raise
+        finally:
+            stats.unpersist()
+            if transcripts is not None:
+                transcripts.unpersist()
         wall = time.monotonic() - t0
         return RunResult(
             snapshot_id=snap,

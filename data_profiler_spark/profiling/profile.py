@@ -301,11 +301,14 @@ def histograms_multi(
     """
     group_cols = group_cols or []
     if not specs:  # e.g. a baseline_meta holding only categorical columns
-        gc_ddl = "".join(
-            f"{f.name} {f.dataType.simpleString()}, "
-            for f in df.schema.fields
-            if f.name in group_cols
-        )
+        # schema must match the non-empty path exactly: group columns in
+        # group_cols ORDER (not df order), and an unknown name fails here
+        # just as it would fail the groupBy
+        field_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = [g for g in group_cols if g not in field_types]
+        if missing:
+            raise ValueError(f"group_cols not in dataframe: {missing}")
+        gc_ddl = "".join(f"{g} {field_types[g]}, " for g in group_cols)
         return df.sparkSession.createDataFrame(
             [], gc_ddl + "column string, bucket int, lo double, hi double, count long"
         )

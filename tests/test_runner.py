@@ -243,3 +243,48 @@ def test_histograms_multi_empty_specs_returns_empty_frame(spark):
     out = histograms_multi(df, {})
     assert out.count() == 0
     assert out.columns == ["column", "bucket", "lo", "hi", "count"]
+
+
+def test_mixed_generation_baseline_tables_also_refuse(spark, tmp_io):
+    """One stamped table + one pre-stamping-era table is the exact state a
+    crashed new-code write_baseline leaves over a legacy baseline — must
+    raise, not silently mis-bin."""
+    import pytest
+
+    clips = fixtures.generate_clips(spark, 80, seed=SEED)
+    run = ValidationRun(spark, tmp_io, n_partitions=4)
+    run.write_baseline(clips)
+    # strip baseline_id from the hist (simulate a legacy baseline_hist)
+    old = tmp_io.read(spark, "baseline_hist")
+    rows = [{k: v for k, v in r.asDict().items() if k != "baseline_id"} for r in old.collect()]
+    legacy = spark.createDataFrame(
+        rows, "column string, bucket int, lo double, hi double, count long"
+    )
+    tmp_io.overwrite(legacy, "baseline_hist")
+    with pytest.raises(RuntimeError, match="baseline_id"):
+        run.run(clips)
+
+
+def test_raising_drift_does_not_leak_persisted_caches(spark, tmp_io):
+    """A raising tail job (the baseline mismatch guard) must not leave the
+    decoded-stats cache pinned for the life of the session."""
+    import pytest
+
+    clips = fixtures.generate_clips(spark, 80, seed=SEED)
+    run = ValidationRun(spark, tmp_io, n_partitions=4)
+    run.write_baseline(clips)
+    old = tmp_io.read(spark, "baseline_meta")
+    rows = [r.asDict() for r in old.collect()]
+    for r in rows:
+        r["baseline_id"] = "deadbeefdeadbeef"
+    tmp_io.overwrite(spark.createDataFrame(rows, old.schema), "baseline_meta")
+
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()  # successful runs legitimately leave their
+    # violations cache behind (returned in RunResult) — only NEW leaks count
+    with pytest.raises(RuntimeError):
+        run.run(clips)
+    leaked = cached_ids() - before
+    assert not leaked, f"RDDs newly cached after raising run: {leaked}"
