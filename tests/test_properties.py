@@ -126,3 +126,73 @@ def test_simhash_bands_never_claim_distance(a, flips):
     for f in flips:
         b ^= 1 << f
     assert bin(a ^ b).count("1") > 3  # by construction (unique flips)
+
+
+@given(
+    pcm=finite_pcm,
+    sr=st.integers(min_value=1, max_value=192_000),
+    pre_chunks=st.lists(
+        st.binary(min_size=0, max_size=16), min_size=0, max_size=3
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_sample_rate_walks_any_chunk_layout(pcm, sr, pre_chunks):
+    """wav_sample_rate must recover the encoded rate no matter how many
+    foreign chunks precede 'fmt ' (legal RIFF layouts), and the payload
+    must still decode — the pair of invariants the transform path's
+    header-authoritative resampling stands on."""
+    import struct
+
+    from data_profiler_spark.audio.decode import wav_sample_rate
+
+    canonical = encode_pcm16_wav(pcm, sr)
+    body = canonical[12:]
+    extra = b"".join(
+        b"LIST" + struct.pack("<I", len(c) + (len(c) & 1)) + c + (b"\x00" * (len(c) & 1))
+        for c in pre_chunks
+    )
+    weird = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    assert wav_sample_rate(canonical) == sr
+    assert wav_sample_rate(weird) == sr
+    assert len(decode_pcm16(weird, "pcm16_wav")) == len(pcm)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+            st.integers(min_value=1, max_value=40),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    values=st.lists(
+        st.floats(min_value=-2e6, max_value=2e6, allow_nan=False),
+        min_size=0,
+        max_size=200,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_histograms_multi_equals_per_column_histogram(spark, edges, values):
+    """One-scan multi-column binning ≡ N independent histogram() calls for
+    arbitrary edges and data (the equivalence the drift gate rests on)."""
+    import pandas as pd
+
+    from data_profiler_spark.profiling import histogram, histograms_multi
+
+    cols = [f"c{i}" for i in range(len(edges))]
+    pdf = pd.DataFrame({c: pd.Series(values, dtype="float64") for c in cols})
+    if len(pdf) == 0:
+        pdf = pd.DataFrame({c: pd.Series([], dtype="float64") for c in cols})
+    df = spark.createDataFrame(pdf, ", ".join(f"{c} double" for c in cols))
+    specs = {c: (lo, lo + width, nb) for c, (lo, width, nb) in zip(cols, edges)}
+    multi = {
+        (r["column"], r["bucket"]): r["count"]
+        for r in histograms_multi(df, specs).collect()
+    }
+    single = {}
+    for c, (lo, hi, nb) in specs.items():
+        for r in histogram(df, c, lo, hi, nb).collect():
+            single[(c, r["bucket"])] = r["count"]
+    assert multi == single
