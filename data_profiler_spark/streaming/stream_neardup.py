@@ -192,6 +192,40 @@ def _make_mark_fn(watermark_ms: int):
     return fn
 
 
+def verify_markings(
+    markings: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of marking rows — the precision half the
+    module design note promises. Batch-side (call it inside foreachBatch,
+    where the micro-batch holds the marked docs' texts, or at reconcile
+    time against the corpus table): marked pairs are deduped across bands
+    and verified through the SAME candidate-bounded pipeline the batch
+    dedup uses (``dedup.lsh_verified_near_dups(candidates=...)``), so a
+    banded false positive never survives to a drop decision. Returns
+    (id_a=marked doc, id_b=claimant, jaccard) for pairs at or above
+    ``threshold``.
+
+    ``docs`` must contain both sides' texts; its id column is cast to
+    string to match the marking stream's contract.
+    """
+    from data_profiler_spark.operators import dedup
+
+    pairs = markings.select(
+        F.col("doc_id").alias("id_a"), F.col("matched_doc_id").alias("id_b")
+    ).distinct()
+    d = docs.select(
+        F.col(id_col).cast("string").alias(id_col), F.col(text_col).alias(text_col)
+    )
+    return dedup.lsh_verified_near_dups(
+        d, id_col, text_col, shingle_k=shingle_k, threshold=threshold, candidates=pairs
+    )
+
+
 def mark_near_dups_stream(
     stream: DataFrame,
     id_col: str = "doc_id",

@@ -462,3 +462,40 @@ def test_stream_band_keys_cast_long_ids_to_string(spark):
     out = band_keys_per_row(df)
     assert dict(out.dtypes)["doc_id"] == "string"
     assert {r["doc_id"] for r in out.collect()} == {"7"}
+
+
+def test_verify_markings_filters_banded_false_positives(spark):
+    """The exact-Jaccard verifier keeps true near-pairs and kills banded
+    false positives — markings are candidates, verification is the drop
+    gate (stream_neardup design note)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from data_profiler_spark.streaming import verify_markings
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while data spark audio "
+        "clips stream nicely through the validation engine tonight"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, base),
+                (2, base.replace("tonight", "today")),
+                (3, "entirely different words about unrelated shuffle topics everywhere"),
+            ],
+            columns=["doc_id", "text"],
+        ),
+        "doc_id long, text string",
+    )
+    markings = spark.createDataFrame(
+        [
+            ("2", "1", 1, "k1"),  # true near pair
+            ("3", "1", 2, "k2"),  # banded false positive
+            ("2", "1", 3, "k3"),  # duplicate band marking of the same pair
+        ],
+        "doc_id string, matched_doc_id string, band_id int, band_key string",
+    )
+    out = verify_markings(markings, docs, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("2", "1")]
+    assert out[0]["jaccard"] >= 0.5
