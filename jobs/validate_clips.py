@@ -226,10 +226,16 @@ def main() -> int:
     res = run.run(clips, transcripts=transcripts, limit_partitions=args.limit_partitions)
 
     if args.html_report or args.xlsx_report:
+        from data_profiler_spark.profiling import top_freq
+
         # cross-run table-level quantiles from the merged per-partition
         # t-digests — includes partitions profiled by earlier (resumed)
         # runs, which per-run frames above cannot show.
         gq = run.global_quantiles_frame()
+        # Describer top/freq parity (reference data_profiler.py:509-519
+        # shows modal values per object column): one column-pruned pass
+        # over the input's codec column, report-time only.
+        topv = top_freq(clips, "codec", k=5)
 
     if args.html_report:
         from data_profiler_spark.sinks import render_html_report
@@ -239,6 +245,7 @@ def main() -> int:
                 ("verdicts (this run)", res.verdicts),
                 ("per-partition profile", res.profile),
                 ("global quantiles (all committed runs, merged sketches)", gq),
+                ("top codec values (input mix)", topv),
                 ("violations sample", res.violations.limit(100)),
             ]
             + ([("drift vs baseline", res.drift)] if res.drift is not None else []),
@@ -255,6 +262,7 @@ def main() -> int:
                 ("verdicts", res.verdicts),
                 ("profile", res.profile),
                 ("global_quantiles", gq),
+                ("top_codecs", topv),
                 ("violations", res.violations.limit(100)),
             ]
             + ([("drift", res.drift)] if res.drift is not None else []),
