@@ -90,3 +90,41 @@ def test_dedup_job_no_dups_is_identity(spark, docs_dir, monkeypatch, capsys):
         assert spark.read.parquet(f"{d}/out/keep").count() == 10
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_job_replicate_strain_invariants(spark, docs_dir, monkeypatch, capsys):
+    """--replicate R: R-fold copies must collapse to EXACTLY the 1x cluster
+    set (every copy absorbed), with per-phase timings and the candidate
+    count reported (the super-linear metric the BENCH strain section
+    tracks)."""
+    import json
+    import sys
+
+    from jobs import dedup_docs
+
+    reports = {}
+    for rep, out in ((1, f"{docs_dir}/out_r1"), (2, f"{docs_dir}/out_r2")):
+        monkeypatch.setattr(
+            sys,
+            "argv",
+            [
+                "dedup_docs.py",
+                "--input", f"{docs_dir}/docs",
+                "--output", out,
+                "--threshold", "0.4",
+                "--replicate", str(rep),
+            ],
+        )
+        assert dedup_docs.main() == 0
+        reports[rep] = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1, r2 = reports[1], reports[2]
+    assert r2["docs"] == 2 * r1["docs"]
+    assert r2["clusters"] == r1["clusters"]  # copies absorbed exactly
+    assert r2["dups_dropped"] == r2["docs"] - r2["clusters"]
+    assert r2["lsh_candidates"] > r1["lsh_candidates"]  # ~R^2 growth
+    assert set(r2["phase_sec"]) == {
+        "exact", "lsh_candidates", "jaccard_verify", "closure_and_write", "keep_and_report",
+    }
+    keep = spark.read.parquet(f"{docs_dir}/out_r2/keep")
+    assert keep.count() == r2["clusters"]
