@@ -153,6 +153,14 @@ def connected_components(
     loop, whose per-round cost is shuffle-bound on |E|, which is the path
     that matters at scale. 0 disables the short-circuit (strain tests pin
     the distributed loop this way).
+
+    NOTE the hybrid is an execution-mode change, not just an optimization:
+    below the cutoff there is no per-round checkpointing even when
+    ``checkpoint_dir`` is set (the driver pass has nothing to checkpoint —
+    it is one bounded collect + an Arrow write-back). Callers that passed
+    ``checkpoint_dir`` expecting distributed fault-tolerant rounds get a
+    warning on stderr when the short-circuit fires; pass
+    ``small_graph_edges=0`` to force the distributed loop.
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
@@ -170,6 +178,16 @@ def connected_components(
     )
     prev_fp = _fingerprint(edges)
     if small_graph_edges and prev_fp[0] <= small_graph_edges:
+        if checkpoint_dir is not None:
+            import sys as _sys
+
+            print(
+                f"connected_components: {prev_fp[0]} distinct edges <= "
+                f"small_graph_edges={small_graph_edges}; resolving driver-side "
+                "(union-find) — checkpoint_dir is unused on this path. Pass "
+                "small_graph_edges=0 to force the checkpointed distributed loop.",
+                file=_sys.stderr,
+            )
         return _driver_union_find(edges)
     for _ in range(max_rounds):
         edges = _materialize(_small_star(_large_star(edges)))

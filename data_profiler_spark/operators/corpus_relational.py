@@ -769,9 +769,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path — at 10^12 rows the engine uses the sketch alone
     (profiling/profile.py approx path); this entry is what certifies it."""
     li = T(spark, sf_dir, "lineitem")
-    rel_err_ok = lambda approx, exact: (  # noqa: E731
-        (F.abs(approx.cast("double") - exact) / exact) <= 0.15
-    )
+    # exact == 0 (a group whose keys are all NULL in this universe):
+    # countDistinct would say 0 and the sketch agrees iff it also says 0 —
+    # the division form would emit NULL (0/0) and silently drop the flag.
+    rel_err_ok = lambda approx, exact: F.when(  # noqa: E731
+        exact == 0, approx.cast("double") == 0
+    ).otherwise((F.abs(approx.cast("double") - exact) / exact) <= 0.15)
     sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.05).alias("__hp"),
         F.approx_count_distinct("l_suppkey", 0.05).alias("__hs"),
@@ -803,7 +806,13 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("__u") == "o", 1)).alias("exact_orders"),
         )
     )
-    joined = sketches.join(exacts, "l_returnflag")
+    # LEFT from sketches: a group whose keys are all NULL in EVERY universe
+    # has no exacts row at all (the null filter dropped it before the
+    # distinct), but countDistinct semantics still owe it a row of zeros —
+    # an inner join would silently drop the group from the entry's output.
+    joined = sketches.join(exacts, "l_returnflag", "left")
+    for c in ("exact_parts", "exact_supps", "exact_orders"):
+        joined = joined.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return joined.select(
         "l_returnflag",
         "exact_parts",

@@ -254,14 +254,17 @@ def histogram(
 
 def categorical_histogram(df: DataFrame, column: str) -> DataFrame:
     """HISTOGRAM_SCHEMA rows for a CATEGORICAL column: bucket = stable hash
-    of the value (pmod(xxhash64, 2^31−1) + 1; nulls → bucket 0), lo/hi null.
+    of the value (pmod(xxhash64, 2^31−2) + 1; nulls → bucket 0), lo/hi null.
 
     Current and baseline frames built with this share bucket ids per
     category, so the PSI histogram-join pipeline scores category-mix shift
-    (e.g. codec mix) with no code change. Note: the binned-KS statistic
-    over these buckets uses an arbitrary-but-stable order — PSI is the
-    meaningful score for categoricals; KS is reported only because the
-    drift row schema carries it.
+    (e.g. codec mix) with no code change. Caveat: a 31-bit hash collision
+    between two distinct categories merges their buckets, masking mix
+    drift between exactly those two categories (birthday bound: ~1e-6 at
+    ~65 categories; codec-style columns have tens). Note: the binned-KS
+    statistic over these buckets uses an arbitrary-but-stable order — PSI
+    is the meaningful score for categoricals; KS is reported only because
+    the drift row schema carries it.
     """
     b = F.when(F.col(column).isNull(), F.lit(0)).otherwise(
         F.pmod(F.xxhash64(F.col(column)), F.lit(2_147_483_646)) + 1

@@ -206,17 +206,27 @@ def verify_markings(
     time against the corpus table): marked pairs are deduped across bands
     and verified through the SAME candidate-bounded pipeline the batch
     dedup uses (``dedup.lsh_verified_near_dups(candidates=...)``), so a
-    banded false positive never survives to a drop decision. Returns
-    (id_a=marked doc, id_b=claimant, jaccard) for pairs at or above
-    ``threshold``.
+    banded false positive never survives to a drop decision. Returns one
+    row per verified UNORDERED pair (id_a = least id, id_b = greatest,
+    jaccard) at or above ``threshold``; the boundary is inclusive
+    (jaccard == threshold verifies), inherited from
+    ``dedup.lsh_verified_near_dups`` so streaming and batch drop decisions
+    can never diverge on the boundary.
 
     ``docs`` must contain both sides' texts; its id column is cast to
     string to match the marking stream's contract.
+
+    Pairs are canonicalized UNORDERED (id_a = least, id_b = greatest)
+    before the distinct: band-key ownership can flip after a state
+    eviction, so the marking stream may contain both (A, B) and (B, A)
+    for one real pair — without canonicalization they would verify as two
+    rows. Jaccard is symmetric, so the orientation carries no information.
     """
     from data_profiler_spark.operators import dedup
 
     pairs = markings.select(
-        F.col("doc_id").alias("id_a"), F.col("matched_doc_id").alias("id_b")
+        F.least("doc_id", "matched_doc_id").alias("id_a"),
+        F.greatest("doc_id", "matched_doc_id").alias("id_b"),
     ).distinct()
     d = docs.select(
         F.col(id_col).cast("string").alias(id_col), F.col(text_col).alias(text_col)

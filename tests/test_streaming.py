@@ -493,9 +493,39 @@ def test_verify_markings_filters_banded_false_positives(spark):
             ("2", "1", 1, "k1"),  # true near pair
             ("3", "1", 2, "k2"),  # banded false positive
             ("2", "1", 3, "k3"),  # duplicate band marking of the same pair
+            ("1", "2", 0, "k0"),  # REVERSED marking of the same pair (band-key
+            #                       ownership flipped after a state eviction)
         ],
         "doc_id string, matched_doc_id string, band_id int, band_key string",
     )
     out = verify_markings(markings, docs, threshold=0.5).collect()
-    assert [(r["id_a"], r["id_b"]) for r in out] == [("2", "1")]
+    # one row per unordered pair, canonical (least, greatest) orientation —
+    # (2,1), its band duplicate, and the reversed (1,2) all collapse to one
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("1", "2")]
     assert out[0]["jaccard"] >= 0.5
+
+
+def test_verify_markings_threshold_boundary_is_inclusive(spark):
+    """jaccard == threshold must VERIFY (>= semantics) — pinned so the
+    streaming drop decision can never diverge from batch
+    ``lsh_verified_near_dups`` on the boundary."""
+    import pandas as pd
+
+    from data_profiler_spark.streaming import verify_markings
+
+    # shingle_k=3 over 4 tokens → shingles {abc, bcd} vs {abc, bcx}:
+    # |∩|=1, |∪|=3 → jaccard exactly 1/3 (0.333333 at 6dp rounding)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "a b c d"), ("b", "a b c x")], columns=["doc_id", "text"]
+        ),
+        "doc_id string, text string",
+    )
+    markings = spark.createDataFrame(
+        [("b", "a", 0, "k")],
+        "doc_id string, matched_doc_id string, band_id int, band_key string",
+    )
+    at = verify_markings(markings, docs, threshold=0.333333).collect()
+    assert [(r["id_a"], r["id_b"]) for r in at] == [("a", "b")]
+    above = verify_markings(markings, docs, threshold=0.333334).collect()
+    assert above == []
