@@ -85,7 +85,7 @@ def minhash_signatures(
     return shingled.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -93,13 +93,12 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+    """(id, band_id, band_key): every doc's LSH band keys, one row per band.
 
     bands = num_hashes / rows_per_band; band_key = md5 of the band's
-    concatenated min-hashes. The self-join is an equi-join on
-    (band_id, band_key) — co-partitioned by construction, skew-safe under
-    AQE because genuinely hot band keys are exactly the near-dup clusters
-    we want.
+    concatenated min-hashes. Exposed separately from the candidate join so
+    callers that need bucket-level metrics (the dedup job's skipped-bucket
+    report) compute them from ONE banded frame instead of signing twice.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     n_bands = num_hashes // rows_per_band
@@ -109,9 +108,42 @@ def minhash_lsh_candidates(
         band_rows.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("", *cols)).alias("band_key"))
         )
-    banded = sig.select("id", F.explode(F.array(*band_rows)).alias("band")).select(
+    return sig.select("id", F.explode(F.array(*band_rows)).alias("band")).select(
         "id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
     )
+
+
+def band_bucket_sizes(banded: DataFrame) -> DataFrame:
+    """(band_id, band_key, bucket_n): membership count per band bucket —
+    map-side-combinable agg on the same key the candidate self-join uses."""
+    return banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+
+
+def candidates_from_bands(
+    banded: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a ``minhash_bands`` frame.
+
+    ``max_bucket_size``: the standard LSH scale guard — a band bucket with
+    more than this many members contributes NO pairs (a bucket of n docs
+    fans out n·(n-1)/2 candidates, so one low-entropy band key — boilerplate
+    headers, empty-ish docs — can dominate the whole join quadratically).
+    Skipped buckets are a disclosed recall loss: report them via
+    ``band_bucket_sizes(banded).filter(bucket_n > cap)`` (the dedup job
+    does). A pair whose docs also collide in a small bucket is still found —
+    only pairs confined to oversize buckets are lost.
+
+    The size filter joins on the same (band_id, band_key) the self-join
+    uses, so it co-partitions with the join it guards; no extra shuffle of
+    the banded frame.
+    """
+    if max_bucket_size is not None:
+        ok = band_bucket_sizes(banded).filter(
+            F.col("bucket_n") <= max_bucket_size
+        ).select("band_id", "band_key")
+        banded = banded.join(ok, ["band_id", "band_key"])
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -119,6 +151,29 @@ def minhash_lsh_candidates(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    The self-join is an equi-join on (band_id, band_key) — co-partitioned
+    by construction, skew-safe under AQE because genuinely hot band keys
+    are exactly the near-dup clusters we want. ``max_bucket_size`` caps the
+    quadratic per-bucket fan-out (see ``candidates_from_bands``); default
+    None preserves exact candidate semantics for oracle verification.
+    """
+    return candidates_from_bands(
+        minhash_bands(df, id_col, text_col, num_hashes, rows_per_band, shingle_k),
+        max_bucket_size=max_bucket_size,
     )
 
 

