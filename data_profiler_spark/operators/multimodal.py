@@ -6,11 +6,15 @@ Pattern (same as the audio path, audio/decode.py): the payload is an opaque
 first opportunity, and partitioning is salted on a deterministic key hash so
 payload-size skew never concentrates in one task.
 
-The sandbox has no image/audio/video codec libraries, so the actual pixel /
-frame decoders are STUBS behind ``register_decoder`` — a deterministic fake
-(``fake_rgb_decoder``) keeps the Spark-side plumbing (schema, batch shape,
-salting, metadata checks) fully testable; a production deployment registers
-real decoders (PIL/ffmpeg) with the same signature and nothing else changes.
+The sandbox has no image/audio/video codec LIBRARIES, but two real image
+formats need none: ``bmp`` and ``png`` decode/encode with struct + numpy +
+stdlib zlib (operators/imagecodec.py) and are registered below — genuine
+pixel bytes run end-to-end through decode → stats / resize → re-encode.
+Formats outside that envelope (jpeg, video frames) remain registry slots a
+production deployment fills with PIL/ffmpeg-backed callables of the same
+signature; an unregistered format raises, which the operators convert to a
+per-item violation row. A deterministic fake (``fake_rgb_decoder``) remains
+for plumbing tests that want exact controllable pixel stats.
 """
 
 from __future__ import annotations
@@ -161,6 +165,16 @@ def register_encoder(fmt: str, encoder: Encoder) -> None:
 
 
 register_encoder("fake_rgb", lambda px, fmt: encode_fake_rgb(px))
+
+# Real zero-dependency codecs (struct/numpy/zlib — operators/imagecodec.py).
+# Imported here, registered here: imagecodec stays a pure bytes<->array
+# module with no Spark or registry coupling.
+from data_profiler_spark.operators import imagecodec as _imagecodec  # noqa: E402
+
+register_decoder("bmp", _imagecodec.decode_bmp)
+register_encoder("bmp", _imagecodec.encode_bmp)
+register_decoder("png", _imagecodec.decode_png)
+register_encoder("png", _imagecodec.encode_png)
 
 
 def nn_resize(px: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
