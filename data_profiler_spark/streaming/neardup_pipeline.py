@@ -1,0 +1,139 @@
+"""End-to-end streaming near-dup pipeline: mark → verify → drop.
+
+``stream_neardup.mark_near_dups_stream`` emits banded CANDIDATE markings;
+its design note promises verification before any drop decision. This module
+is that promised composition, runnable (jobs/stream_neardup_docs.py wraps
+it for spark-submit):
+
+1. LAND: every arriving doc appends to the corpus landing table
+   (``<out>/landing``) — the stream's raw record, nothing dropped here.
+2. MARK: ``mark_near_dups_stream`` holds band-key state across
+   micro-batches and emits (doc_id, matched_doc_id, band_id, ...) marking
+   rows for banded collisions inside the watermark.
+3. VERIFY (foreachBatch): each marking micro-batch is verified with exact
+   Jaccard against the landing table (``stream_neardup.verify_markings`` →
+   the candidate-bounded ``dedup.lsh_verified_near_dups``). Pairs at or
+   above ``threshold`` append a DROP DECISION row to ``<out>/drops``:
+   (drop_id = the unordered pair's GREATER id, kept_id, jaccard) — the
+   same keep-the-minimum convention as the batch job's component-min
+   canonicals. A banded false positive fails verification and appends
+   NOTHING: marked, never dropped.
+4. ``kept_docs`` = landing anti-join drops — the post-dedup corpus view.
+
+Failure semantics (deliberately conservative): if a marked doc's text has
+not landed yet when its marking batch verifies (the two queries are
+independent; a race is possible under continuous triggers), the pair finds
+no shingles and is NOT verified — the doc is KEPT. A lost drop is
+recoverable by re-running verification at reconcile time (the markings are
+persisted under ``<out>/markings``); a wrong drop would not be. With
+``availableNow`` drains (the sandbox/test mode and the job default) the
+land query is drained before the mark query, so the race cannot occur.
+
+Scale: landing is a plain append sink; verification is bounded by
+|markings in the batch| × shingles-per-doc (candidate-bounded, never
+corpus-quadratic); drops is metadata-scale. The landing read inside
+foreachBatch is column-pruned to (id, text) and filtered by a semi-join
+against the batch's marked ids before shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_profiler_spark.streaming.stream_neardup import (
+    mark_near_dups_stream,
+    verify_markings,
+)
+
+DOC_SCHEMA = "doc_id string, text string, event_time timestamp"
+
+
+def _verify_and_record(
+    out_root: str, threshold: float, shingle_k: int
+):
+    """foreachBatch body: verify one micro-batch of markings against the
+    landing table; append verified drop decisions."""
+
+    def fn(markings: DataFrame, batch_id: int) -> None:
+        spark = markings.sparkSession
+        markings.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_root}/markings"
+        )
+        try:
+            landing = spark.read.parquet(f"{out_root}/landing")
+        except Exception:  # noqa: BLE001 — no docs landed yet: keep everything
+            return
+        marked_ids = (
+            markings.select(F.col("doc_id").alias("doc_id"))
+            .unionByName(markings.select(F.col("matched_doc_id").alias("doc_id")))
+            .distinct()
+        )
+        docs = landing.select("doc_id", "text").join(marked_ids, "doc_id", "left_semi")
+        verified = verify_markings(
+            markings, docs, shingle_k=shingle_k, threshold=threshold
+        )
+        # unordered pair (id_a=least, id_b=greatest) → drop the greater,
+        # keep the lesser (batch component-min convention)
+        decisions = verified.select(
+            F.col("id_b").alias("drop_id"),
+            F.col("id_a").alias("kept_id"),
+            "jaccard",
+            F.lit(batch_id).alias("batch_id"),
+        )
+        decisions.write.mode("append").parquet(f"{out_root}/drops")
+
+    return fn
+
+
+def drain_once(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    watermark: str = "1 hour",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    timeout_sec: int = 300,
+) -> None:
+    """One availableNow drain cycle of both queries: land first (so the
+    verifier can always see the batch's texts), then mark+verify."""
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    land_q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{out_root}/landing")
+        .option("checkpointLocation", f"{out_root}/_cp_land")
+        .trigger(availableNow=True)
+        .start()
+    )
+    land_q.awaitTermination(timeout_sec)
+
+    marks = mark_near_dups_stream(
+        spark.readStream.schema(DOC_SCHEMA).parquet(input_dir),
+        watermark=watermark,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+    )
+    verify_q = (
+        marks.writeStream.foreachBatch(
+            _verify_and_record(out_root, threshold, shingle_k)
+        )
+        .option("checkpointLocation", f"{out_root}/_cp_mark")
+        .trigger(availableNow=True)
+        .start()
+    )
+    verify_q.awaitTermination(timeout_sec)
+
+
+def kept_docs(spark: SparkSession, out_root: str) -> DataFrame:
+    """The post-dedup corpus view: landed docs minus verified drops."""
+    landing = spark.read.parquet(f"{out_root}/landing")
+    try:
+        drops = spark.read.parquet(f"{out_root}/drops").select(
+            F.col("drop_id").alias("doc_id")
+        )
+    except Exception:  # noqa: BLE001 — nothing dropped yet
+        return landing
+    return landing.join(drops, "doc_id", "left_anti")

@@ -529,3 +529,174 @@ def test_verify_markings_threshold_boundary_is_inclusive(spark):
     assert [(r["id_a"], r["id_b"]) for r in at] == [("a", "b")]
     above = verify_markings(markings, docs, threshold=0.333334).collect()
     assert above == []
+
+
+# ------------------------------------------------------------------------
+# mark → verify → drop: the end-to-end streaming near-dup pipeline
+# (streaming/neardup_pipeline.py, jobs/stream_neardup_docs.py)
+
+BASE_DOC = (
+    "the quick brown fox jumps over the lazy dog while data spark audio "
+    "clips stream nicely through the validation engine tonight"
+)
+# Deterministic banded FALSE POSITIVE for (num_hashes=8, rows_per_band=1,
+# shingle_k=3): shares the 6-word prefix with BASE_DOC, and the md5 min-hash
+# for seed 2 deterministically lands on a shared prefix shingle for BOTH
+# docs — so band 2 collides while exact Jaccard is only 4/34 ≈ 0.118
+# (4 shared shingles of 19 each). Found by exhaustive search over seeded
+# random tails; the collision is a pure function of the texts.
+FP_DOC = (
+    "the quick brown fox jumps over kappa psi kappa sigma mu zeta psi psi "
+    "omega omicron upsilon gamma delta upsilon rho"
+)
+
+
+def _land_docs(spark, in_dir, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "event_time"])
+    pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+    spark.createDataFrame(
+        pdf, "doc_id string, text string, event_time timestamp"
+    ).write.mode("append").parquet(in_dir)
+
+
+def test_neardup_pipeline_mark_verify_drop_end_to_end(spark, dirs):
+    """The full loop through REAL sinks: a true near-pair is marked AND
+    dropped; a banded false positive (genuine band collision from the real
+    LSH, not a synthesized marking row) is marked but NOT dropped — the
+    round-4 verdict's 'verification is the drop gate' criterion."""
+    from data_profiler_spark.streaming import neardup_pipeline as P
+
+    in_dir, cp = dirs
+    out = cp + "_out"
+    _land_docs(spark, in_dir, [("a_orig", BASE_DOC, "2026-01-01 10:00:00")])
+    P.drain_once(spark, in_dir, out, threshold=0.5, rows_per_band=1)
+    _land_docs(
+        spark,
+        in_dir,
+        [
+            ("b_near", BASE_DOC.replace("tonight", "today"), "2026-01-01 10:05:00"),
+            ("c_fp", FP_DOC, "2026-01-01 10:05:10"),
+        ],
+    )
+    P.drain_once(spark, in_dir, out, threshold=0.5, rows_per_band=1)
+
+    marked = {
+        tuple(sorted((r["doc_id"], r["matched_doc_id"])))
+        for r in spark.read.parquet(f"{out}/markings").collect()
+    }
+    assert ("a_orig", "b_near") in marked  # true near pair marked
+    assert ("a_orig", "c_fp") in marked  # banded FP marked (candidate!)
+
+    drops = {r["drop_id"] for r in spark.read.parquet(f"{out}/drops").collect()}
+    assert drops == {"b_near"}  # verified near-dup dropped (keep least id)
+    # the banded false positive survived verification — marked, NOT dropped
+    kept = {r["doc_id"] for r in P.kept_docs(spark, out).collect()}
+    assert kept == {"a_orig", "c_fp"}
+    # and the drop decision carries the verified jaccard
+    d = spark.read.parquet(f"{out}/drops").collect()[0]
+    assert d["kept_id"] == "a_orig" and d["jaccard"] >= 0.5
+
+
+def test_stream_neardup_job_entrypoint(spark, dirs, monkeypatch, capsys):
+    """jobs/stream_neardup_docs.py: one drain over a landed batch, JSON
+    summary + kept/ parquet output (the spark-submit surface)."""
+    import json
+    import sys
+
+    from jobs import stream_neardup_docs
+
+    in_dir, cp = dirs
+    out = cp + "_job_out"
+    _land_docs(
+        spark,
+        in_dir,
+        [
+            ("a_orig", BASE_DOC, "2026-01-01 10:00:00"),
+            ("b_near", BASE_DOC.replace("tonight", "today"), "2026-01-01 10:00:05"),
+            ("z_solo", "entirely unrelated content about iceberg manifest compaction cycles", "2026-01-01 10:00:10"),
+        ],
+    )
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["stream_neardup_docs.py", "--input", in_dir, "--output", out,
+         "--threshold", "0.5"],
+    )
+    assert stream_neardup_docs.main() == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["landed"] == 3 and rep["dropped"] == 1
+    assert rep["marked_pairs"] >= 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {"a_orig", "z_solo"}
+
+
+def test_stream_neardup_lateness_decay_and_state_eviction(spark, dirs):
+    """The design note's recall-decay contract, pinned: a near-dup arriving
+    AFTER the watermark evicted the original's band state is marked novel
+    (documented recall loss — the batch reconcile pass owns that tail), and
+    the state store SHRINKS at eviction (bounded by the watermark window,
+    not by stream length)."""
+    from data_profiler_spark.streaming import mark_near_dups_stream
+
+    in_dir, cp = dirs
+    out_dir = cp + "_out"
+    state_rows = []
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id string, text string, event_time timestamp"
+        ).parquet(in_dir)
+        marks = mark_near_dups_stream(stream, watermark="10 minutes")
+        q = (
+            marks.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progs = [p for p in q.recentProgress if p and p["stateOperators"]]
+        if progs:
+            state_rows.append(progs[-1]["stateOperators"][0]["numRowsTotal"])
+
+    # batch 1: the original claims its band keys (timeout = 10:00 + 10min)
+    _land_docs(spark, in_dir, [("orig", BASE_DOC, "2026-01-01 10:00:00")])
+    drain()
+    # batch 2: unrelated filler at 11:00 advances the watermark to 10:50,
+    # far past the original's 10:10 timeout
+    _land_docs(
+        spark, in_dir,
+        [("f1", "totally unrelated filler words one", "2026-01-01 11:00:00")],
+    )
+    drain()
+    # batch 3: orig's band keys have NO data this batch and their timeout
+    # passed -> hasTimedOut fires, state removed
+    _land_docs(
+        spark, in_dir,
+        [("f2", "more unrelated filler words two", "2026-01-01 11:01:00")],
+    )
+    drain()
+    # batch 4: the late near-dup finds no claim -> marked NOVEL (no row)
+    _land_docs(
+        spark, in_dir,
+        [("late_near", BASE_DOC.replace("tonight", "today"), "2026-01-01 11:05:00")],
+    )
+    drain()
+
+    try:
+        marked = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    except Exception:  # no output at all ⇒ nothing was ever marked
+        marked = set()
+    assert "late_near" not in marked  # recall loss by design, not a match
+    # Eviction bounds the store by the watermark window, never cumulative
+    # stream length: 4 docs × 4 bands = 16 claims ever made, but orig's 4
+    # were evicted once the watermark passed its timeout (availableNow runs
+    # a trailing no-data micro-batch per drain, so the removal lands inside
+    # the drain cycle that advanced the watermark — measured [4, 4, 8, 12]).
+    assert len(state_rows) == 4, f"missing progress metrics: {state_rows}"
+    assert state_rows[-1] < 16, f"state is cumulative, eviction failed: {state_rows}"
+    assert state_rows[1] <= 8, (
+        f"orig's bands were not evicted in the watermark-advancing drain: {state_rows}"
+    )
