@@ -185,7 +185,9 @@ class ValidationRun:
         )
 
     # -- baseline snapshot ---------------------------------------------------
-    def write_baseline(self, clips: DataFrame) -> None:
+    def write_baseline(
+        self, clips: DataFrame | None, stats: DataFrame | None = None
+    ) -> None:
         """Persist the drift baseline: one histogram per DRIFT_COLUMNS column
         with data-derived edges, plus the edges themselves (baseline_meta) so
         every later run bins its current histograms identically.
@@ -194,11 +196,23 @@ class ValidationRun:
         min/max agg to derive edges, then ONE scan for all histograms
         (histograms_multi). The upper edge is padded so the observed max
         lands in the last interior bucket, not the overflow bucket — bucket
-        nbins+1 stays reserved for values genuinely beyond the baseline."""
-        stats = decode_stats(
-            clips.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms"),
-            passthrough=["dur_ms", "codec"],
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nbins+1 stays reserved for values genuinely beyond the baseline.
+
+        ``stats``: a pre-computed decode-stats frame (must carry the
+        DRIFT_COLUMNS + DRIFT_CATEGORICALS columns). When provided, the
+        decode pass is SKIPPED and the frame is used as-is (the caller owns
+        its persistence) — ``run(snapshot_baseline=True)`` passes its own
+        persisted stats cache here, so validating and snapshotting a
+        baseline in one session costs ONE decode of the payload, not two.
+        """
+        own = stats is None
+        if own:
+            if clips is None:
+                raise ValueError("write_baseline needs clips or a stats frame")
+            stats = decode_stats(
+                clips.select("clip_id", "bytes", "sr_hz", "codec", "dur_ms"),
+                passthrough=["dur_ms", "codec"],
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             mm = stats.agg(
                 *[F.min(c).cast("double").alias(f"lo_{c}") for c in DRIFT_COLUMNS],
@@ -230,7 +244,8 @@ class ValidationRun:
             self.io.overwrite(meta, "baseline_meta")
             self.io.overwrite(hist.select(F.lit(bid).alias("baseline_id"), "*"), "baseline_hist")
         finally:
-            stats.unpersist()
+            if own:
+                stats.unpersist()
 
     # -- main entry ----------------------------------------------------------
     def run(
@@ -240,6 +255,7 @@ class ValidationRun:
         limit_partitions: int | None = None,
         filter_pending: bool = True,
         extra_metrics: dict | None = None,
+        snapshot_baseline: bool = False,
     ) -> RunResult:
         """Validate all partitions not yet in the manifest.
 
@@ -251,6 +267,12 @@ class ValidationRun:
         into logical partitions completed by earlier batches must still be
         checked; the manifest then records per-batch lineage, not a skip
         filter.
+        ``snapshot_baseline=True`` also persists this run's decoded stats
+        as the drift baseline (``write_baseline(stats=...)``) off the SAME
+        persisted stats cache — one decode pass feeds validation and the
+        snapshot. The snapshot is written before the drift job runs, so the
+        run's own drift scores compare it against itself (≈0, all passing)
+        — the bootstrap shape for a first run on clean data.
         """
         t0 = time.monotonic()
         verbose = os.environ.get("DPS_VERBOSE_TIMING") == "1"
@@ -315,6 +337,12 @@ class ValidationRun:
         # the except path only.
         _viol_cache = None
         try:
+            if snapshot_baseline:
+                # BEFORE the parallel tail: job_drift reads baseline_hist/
+                # baseline_meta, and overwriting them concurrently from this
+                # thread would race the read (FILE_NOT_EXIST mid-scan).
+                self.write_baseline(None, stats=stats)
+                mark("baseline snapshot (shared decode)")
             # -- constraint checks (names drive the verdict grid) ----------------
             # Row-level checks fuse into ONE scan of stats (no joins); only
             # uniqueness (groupBy) and the two referential directions (anti-joins)

@@ -21,8 +21,12 @@ Writer subset: inline strings (no sharedStrings table — valid OOXML,
 simpler, and what many streaming writers emit), numbers, booleans, None as
 an empty cell. Reader subset: inlineStr / n / b / str cells plus a
 sharedStrings table when present (so workbooks written by Excel itself or
-openpyxl read back too). Formulas are read by their cached value; styles
-are ignored.
+openpyxl read back too). Formulas are read by their cached value. Styles
+are consulted for ONE thing: a numeric cell whose xf carries a date/time
+number format (built-in ids or a custom yyyy-mm-dd-style code) is a date
+SERIAL in a foreign workbook, and reads back as the same ISO text this
+module's writer emits for temporal values — one representation for both
+provenances. All other styling is ignored.
 """
 
 from __future__ import annotations
@@ -217,6 +221,66 @@ def _q(tag: str) -> str:
     return f"{{{_MAIN_NS}}}{tag}"
 
 
+# Built-in OOXML number formats that render a serial number as a date/time
+# (ECMA-376 §18.8.30): 14-22 date/datetime, 27-36 locale dates, 45-47
+# time-of-day, 50-58 locale era dates.
+_BUILTIN_DATE_FMTS = frozenset(range(14, 23)) | frozenset(range(27, 37)) | frozenset(
+    range(45, 48)
+) | frozenset(range(50, 59))
+_FMT_QUOTED = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+
+
+def _is_date_format_code(code: str) -> bool:
+    """Heuristic for CUSTOM numFmt codes: after stripping quoted literals,
+    bracket sections ([Red], [$-409]) and escaped chars, any y/m/d/h/s
+    token means the format renders the serial as a date/time."""
+    bare = _FMT_QUOTED.sub("", code or "")
+    return any(ch in bare.lower() for ch in "ymdhs")
+
+
+def _date_styled_xfs(styles_xml: bytes) -> frozenset[int]:
+    """Indices into cellXfs whose number format is a date/time format —
+    the set a cell's ``s`` attribute is matched against."""
+    root = ET.fromstring(styles_xml)
+    custom_date_ids = {
+        int(nf.get("numFmtId"))
+        for nf in root.iter(_q("numFmt"))
+        if _is_date_format_code(nf.get("formatCode", ""))
+    }
+    out = set()
+    cell_xfs = root.find(_q("cellXfs"))
+    if cell_xfs is None:
+        return frozenset()
+    for i, xf in enumerate(cell_xfs.findall(_q("xf"))):
+        fmt_id = int(xf.get("numFmtId", "0"))
+        if fmt_id in _BUILTIN_DATE_FMTS or fmt_id in custom_date_ids:
+            out.add(i)
+    return frozenset(out)
+
+
+_EXCEL_EPOCH = _dt.datetime(1899, 12, 30)
+
+
+def _serial_to_iso(num: float) -> str:
+    """Excel date serial → ISO text (the writer's documented coercion for
+    temporal cells, applied on read for foreign date-styled workbooks).
+    Serials < 1 are time-of-day; integral serials are dates; everything
+    else a full timestamp. Seconds are rounded (serials carry float noise
+    from Excel's own arithmetic). The 1899-12-30 epoch reproduces Excel's
+    mapping for serials >= 61 (after its fictitious 1900-02-29); earlier
+    serials follow the same linear rule, documented rather than bug-for-bug."""
+    days = int(num // 1)
+    secs = round((num - days) * 86400)
+    if secs >= 86400:  # rounding crossed midnight
+        days, secs = days + 1, 0
+    t = _EXCEL_EPOCH + _dt.timedelta(days=days, seconds=secs)
+    if num < 1:
+        return t.time().isoformat()
+    if secs == 0:
+        return t.date().isoformat()
+    return t.isoformat(sep=" ")
+
+
 def _cell_ref_to_col(ref: str) -> int:
     letters = "".join(ch for ch in ref if ch.isalpha())
     idx = 0
@@ -225,7 +289,7 @@ def _cell_ref_to_col(ref: str) -> int:
     return idx - 1
 
 
-def _parse_cell(c: ET.Element, shared: list[str]):
+def _parse_cell(c: ET.Element, shared: list[str], date_xfs: frozenset[int] = frozenset()):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find(_q("is"))
@@ -242,6 +306,19 @@ def _parse_cell(c: ET.Element, shared: list[str]):
     if t == "str":
         return _unescape_cell_text(v.text)
     num = float(v.text)
+    # Foreign workbooks store dates as serial numbers + a date-styled xf
+    # (the writer here emits ISO text instead — see _cell_xml). A
+    # date-styled numeric cell reads back as the SAME documented ISO text,
+    # so both provenances converge on one representation.
+    s = c.get("s")
+    if s is not None and int(s) in date_xfs:
+        try:
+            return _serial_to_iso(num)
+        except (OverflowError, ValueError):
+            # a serial no calendar can hold (e.g. 1e30) is dirty data —
+            # fall through to the raw number so coercion/validity checks
+            # (checks/coercion.py) count it instead of crashing the read
+            pass
     return int(num) if num.is_integer() and "e" not in v.text.lower() and "." not in v.text else num
 
 
@@ -281,6 +358,9 @@ def read_xlsx_rows(path: str, sheet: str | None = None) -> tuple[list[str], list
             shared = [
                 "".join(t.text or "" for t in si.iter(_q("t"))) for si in ss.iter(_q("si"))
             ]
+        date_xfs: frozenset[int] = frozenset()
+        if "xl/styles.xml" in z.namelist():
+            date_xfs = _date_styled_xfs(z.read("xl/styles.xml"))
     root = ET.fromstring(sheet_xml)
     grid: list[list] = []
     for row in root.iter(_q("row")):
@@ -291,7 +371,7 @@ def read_xlsx_rows(path: str, sheet: str | None = None) -> tuple[list[str], list
             col = _cell_ref_to_col(ref) if ref else next_col
             while len(cells) <= col:
                 cells.append(None)
-            cells[col] = _parse_cell(c, shared)
+            cells[col] = _parse_cell(c, shared, date_xfs)
             next_col = col + 1
         grid.append(cells)
     if not grid:

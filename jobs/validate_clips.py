@@ -28,6 +28,14 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=32, help="logical manifest partitions")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox)")
     ap.add_argument("--write-baseline", action="store_true", help="persist drift baseline and exit")
+    ap.add_argument(
+        "--baseline-from-run",
+        action="store_true",
+        help="persist the drift baseline FROM the validation run's own "
+        "decoded stats (one shared decode pass) instead of a separate "
+        "--write-baseline invocation's second decode — the bootstrap shape "
+        "for a first run on clean data",
+    )
     ap.add_argument("--limit-partitions", type=int, default=None, help="simulate a killed job")
     ap.add_argument("--clips-path", default=None, help="read clips parquet instead of generating")
     ap.add_argument("--transcripts-path", default=None, help="read transcripts parquet instead of generating")
@@ -223,7 +231,12 @@ def main() -> int:
         spark.stop()
         return 0 if best.all_passed or args.corrupt else 1
 
-    res = run.run(clips, transcripts=transcripts, limit_partitions=args.limit_partitions)
+    res = run.run(
+        clips,
+        transcripts=transcripts,
+        limit_partitions=args.limit_partitions,
+        snapshot_baseline=args.baseline_from_run,
+    )
 
     if args.html_report or args.xlsx_report:
         from data_profiler_spark.profiling import top_freq

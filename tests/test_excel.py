@@ -293,3 +293,90 @@ def test_decimal_and_timestamp_cells_keep_usable_types(spark, tmp_path):
     assert isinstance(row[1], float) and row[1] == 12345.67  # number cell
     assert row[2] == "2026-01-02 03:04:05"
     assert row[3] == "2026-01-02"
+
+
+def test_foreign_workbook_date_styled_serials(tmp_path):
+    """Foreign workbooks carry dates as NUMERIC serials + a date-styled xf
+    (built-in fmt 14/22/45 or a custom yyyy-mm-dd numFmt); read_xlsx must
+    yield the writer's documented ISO text for them while leaving
+    plain-styled numbers numeric — the r4 verdict's Excel robustness item."""
+    import zipfile as _zf
+
+    from data_profiler_spark.sinks.excel import read_xlsx_rows
+
+    path = str(tmp_path / "dates.xlsx")
+    main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with _zf.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg}">'
+            f'<Relationship Id="rId1" Type="{rel}/officeDocument" Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{main}" xmlns:r="{rel}">'
+            '<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg}">'
+            f'<Relationship Id="rId1" Type="{rel}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        # xf 0: General (not a date). xf 1: builtin 14 (m/d/yyyy).
+        # xf 2: builtin 22 (m/d/yy h:mm). xf 3: builtin 45 (mm:ss, time).
+        # xf 4: custom 164 = yyyy-mm-dd (date tokens outside quotes).
+        # xf 5: custom 165 = "m" literal quoted → NOT a date format.
+        z.writestr(
+            "xl/styles.xml",
+            f'<?xml version="1.0"?><styleSheet xmlns="{main}">'
+            '<numFmts count="2">'
+            '<numFmt numFmtId="164" formatCode="yyyy-mm-dd"/>'
+            '<numFmt numFmtId="165" formatCode="&quot;m&quot;0.00"/>'
+            "</numFmts>"
+            '<cellXfs count="6">'
+            '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="22"/>'
+            '<xf numFmtId="45"/><xf numFmtId="164"/><xf numFmtId="165"/>'
+            "</cellXfs></styleSheet>",
+        )
+        # serial 45292 = 2024-01-01; 45292.5 = noon; 0.75 = 18:00:00
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{main}"><sheetData>'
+            '<row r="1">'
+            '<c r="A1" t="inlineStr"><is><t>d14</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>d22</t></is></c>'
+            '<c r="C1" t="inlineStr"><is><t>t45</t></is></c>'
+            '<c r="D1" t="inlineStr"><is><t>d164</t></is></c>'
+            '<c r="E1" t="inlineStr"><is><t>plain</t></is></c>'
+            '<c r="F1" t="inlineStr"><is><t>fake_m</t></is></c>'
+            "</row>"
+            '<row r="2">'
+            '<c r="A2" s="1"><v>45292</v></c>'
+            '<c r="B2" s="2"><v>45292.5</v></c>'
+            '<c r="C2" s="3"><v>0.75</v></c>'
+            '<c r="D2" s="4"><v>45292</v></c>'
+            '<c r="E2" s="0"><v>45292</v></c>'
+            '<c r="F2" s="5"><v>45292</v></c>'
+            "</row>"
+            "</sheetData></worksheet>",
+        )
+    hdr, rows = read_xlsx_rows(path)
+    assert hdr == ["d14", "d22", "t45", "d164", "plain", "fake_m"]
+    got = dict(zip(hdr, rows[0]))
+    assert got["d14"] == "2024-01-01"  # builtin date style → ISO date text
+    assert got["d22"] == "2024-01-01 12:00:00"  # datetime style → ISO stamp
+    assert got["t45"] == "18:00:00"  # serial < 1 + time style → time-of-day
+    assert got["d164"] == "2024-01-01"  # custom yyyy-mm-dd numFmt
+    assert got["plain"] == 45292  # General style stays numeric
+    assert got["fake_m"] == 45292  # quoted "m" is a literal, not a date token

@@ -288,3 +288,40 @@ def test_raising_drift_does_not_leak_persisted_caches(spark, tmp_io):
         run.run(clips)
     leaked = cached_ids() - before
     assert not leaked, f"RDDs newly cached after raising run: {leaked}"
+
+
+def test_snapshot_baseline_shares_one_decode(spark, tmp_io, monkeypatch):
+    """run(snapshot_baseline=True) must feed write_baseline the run's own
+    persisted stats cache: ONE decode_stats plan in the whole session (the
+    r4 verdict's profile-path fusion item), a usable baseline on disk, and
+    a subsequent run scoring clean drift against it."""
+    from data_profiler_spark.plans import runner as runner_mod
+    from data_profiler_spark.plans.runner import ValidationRun
+
+    calls = {"n": 0}
+    real = runner_mod.decode_stats
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(runner_mod, "decode_stats", counting)
+    clips = fixtures.generate_clips(spark, N, seed=SEED)
+    run = ValidationRun(spark, tmp_io, n_partitions=PARTS)
+    res = run.run(clips, snapshot_baseline=True)
+    assert calls["n"] == 1, f"baseline+validate built {calls['n']} decode plans"
+    assert res.all_passed
+    # the run's own drift compares the snapshot against itself: all green
+    rows = {r["column"]: r for r in res.drift.collect()}
+    assert set(rows) >= {"dur_ms", "decoded_ms", "rms", "codec"}
+    for c, d in rows.items():
+        assert d["psi_passed"] and d["ks_passed"], c
+    # the persisted baseline is the real thing: a later louder run trips rms
+    louder = fixtures.generate_clips(
+        spark, N, seed=SEED, corruptions=fixtures.Corruptions(gain_all=1.6)
+    )
+    run2 = ValidationRun(spark, tmp_io, n_partitions=PARTS, manifest_table="manifest2")
+    res2 = run2.run(louder)
+    rows2 = {r["column"]: r for r in res2.drift.collect()}
+    assert not rows2["rms"]["psi_passed"]
+    assert rows2["dur_ms"]["psi_passed"]
