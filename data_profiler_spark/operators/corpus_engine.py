@@ -329,6 +329,58 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_decode_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal registry (no SQL oracle —
+    binary codec; pixel-exact round-trips are pytest's job,
+    tests/test_imagecodec.py). Payloads are genuine BMP bytes built
+    deterministically from each document's text (md5-seeded 8×6 RGB), so
+    the driver's rows-only check drives encode → Arrow batch → decode →
+    stats end-to-end on the documents table; a seeded 1-in-16 corruption
+    (truncated payload) exercises the violation-row contract in the same
+    pass."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from data_profiler_spark.operators import imagecodec, multimodal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").limit(256)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "payload": [], "fmt": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5((text or "").encode()).digest()
+                px = (
+                    np.frombuffer((seed * ((8 * 6 * 3) // len(seed) + 1))[: 8 * 6 * 3],
+                                  dtype=np.uint8)
+                    .reshape(8, 6, 3)
+                )
+                payload = imagecodec.encode_bmp(px)
+                if int(doc_id) % 16 == 0:  # seeded corruption: truncated file
+                    payload = payload[: len(payload) // 2]
+                out["media_id"].append(str(doc_id))
+                out["payload"].append(payload)
+                out["fmt"].append("bmp")
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, schema="media_id string, payload binary, fmt string")
+    stats = multimodal.media_decode_stats(media)
+    return stats.select(
+        "media_id",
+        "decode_ok",
+        "n_bytes",
+        "dec_height",
+        "dec_width",
+        "channels",
+        F.round("mean_intensity", 5).alias("mean_intensity"),
+    ).orderBy("media_id")
+
+
 KS_BASELINE_N = 4096
 
 
@@ -429,4 +481,5 @@ ENGINE_QUERIES = {
     "profile_outlier_counts": (profile_outlier_counts, _outlier_sql()),
     "drift_scores": (drift_scores, DRIFT_SCORES_SQL),
     "audio_decode_stats": (audio_decode_stats, None),
+    "media_decode_stats": (media_decode_stats_entry, None),
 }
