@@ -346,7 +346,15 @@ def media_decode_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_profiler_spark.operators import imagecodec, multimodal
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text").limit(256)
+    # orderBy before limit: a bare LIMIT takes whichever partitions win the
+    # race, so the 256-doc subset (and the 1-in-16 corruption placement)
+    # would differ run to run; TakeOrdered pins it, still bounded.
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(256)
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -122,7 +122,9 @@ def band_bucket_sizes(banded: DataFrame) -> DataFrame:
 
 
 def candidates_from_bands(
-    banded: DataFrame, max_bucket_size: int | None = None
+    banded: DataFrame,
+    max_bucket_size: int | None = None,
+    bucket_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from a ``minhash_bands`` frame.
 
@@ -137,12 +139,16 @@ def candidates_from_bands(
 
     The size filter joins on the same (band_id, band_key) the self-join
     uses, so it co-partitions with the join it guards; no extra shuffle of
-    the banded frame.
+    the banded frame. Callers that ALSO report skip metrics should compute
+    ``band_bucket_sizes(banded)`` once, persist it, and pass it via
+    ``bucket_sizes`` — otherwise the aggregation over the job's largest
+    intermediate runs twice (once here, once for the metrics).
     """
     if max_bucket_size is not None:
-        ok = band_bucket_sizes(banded).filter(
-            F.col("bucket_n") <= max_bucket_size
-        ).select("band_id", "band_key")
+        sizes = bucket_sizes if bucket_sizes is not None else band_bucket_sizes(banded)
+        ok = sizes.filter(F.col("bucket_n") <= max_bucket_size).select(
+            "band_id", "band_key"
+        )
         banded = banded.join(ok, ["band_id", "band_key"])
     left = banded.alias("a")
     right = banded.alias("b")

@@ -172,12 +172,16 @@ def decode_png(payload: bytes, fmt: str = "png") -> np.ndarray:
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        # 12 = 4 length + 4 type + 4 CRC; the CRC field can be cut even
+        # when the body slice is whole, so bound-check before unpacking.
+        if len(body) != length or pos + 12 + length > len(payload):
             raise ValueError(f"png: truncated {ctype!r} chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if ctype in (b"IHDR", b"IDAT", b"PLTE") and crc != zlib.crc32(ctype + body):
             raise ValueError(f"png: CRC mismatch on {ctype!r}")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"png: IHDR length {length} != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.extend(body)

@@ -308,11 +308,20 @@ def kmeanspp_seed_centroids(
     if not sample_rows:
         raise ValueError("kmeanspp_seed_centroids: empty corpus")
     x = np.array([r["__v"] for r in sample_rows], dtype=np.float64)
+    # L2-normalize first: assignment (_nearest_centroid) and IVF probing
+    # rank by COSINE, so seed spread must be measured in the same metric.
+    # On unit vectors squared euclidean = 2·(1 − cosine) — the D² weights
+    # below become cosine-consistent, and magnitude outliers (v vs 5v,
+    # identical directions) can no longer claim two seeds and starve a
+    # list. Zero vectors stay zero (cosine treats them as sim 0 anyway).
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = np.where(norms > 0.0, x / np.maximum(norms, 1e-30), x)
     n = x.shape[0]
     k = min(k, n)
     rng = np.random.default_rng(seed)
     centers = [int(rng.integers(0, n))]
-    # squared euclidean distance to the nearest chosen seed so far
+    # squared euclidean distance (on unit vectors: 2·(1−cos)) to the
+    # nearest chosen seed so far
     d2 = ((x - x[centers[0]]) ** 2).sum(axis=1)
     for _ in range(1, k):
         total = float(d2.sum())

@@ -268,7 +268,12 @@ def _serial_to_iso(num: float) -> str:
     else a full timestamp. Seconds are rounded (serials carry float noise
     from Excel's own arithmetic). The 1899-12-30 epoch reproduces Excel's
     mapping for serials >= 61 (after its fictitious 1900-02-29); earlier
-    serials follow the same linear rule, documented rather than bug-for-bug."""
+    serials follow the same linear rule, documented rather than bug-for-bug.
+    Negative serials are invalid in Excel itself (it renders #####) — raise
+    so the caller's dirty-data fall-through counts them as raw numbers
+    instead of laundering them into plausible-looking times."""
+    if num < 0:
+        raise ValueError(f"negative Excel date serial {num!r}")
     days = int(num // 1)
     secs = round((num - days) * 86400)
     if secs >= 86400:  # rounding crossed midnight

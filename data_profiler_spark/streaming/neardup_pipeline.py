@@ -38,6 +38,7 @@ against the batch's marked ids before shingling.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +48,33 @@ from data_profiler_spark.streaming.stream_neardup import (
 )
 
 DOC_SCHEMA = "doc_id string, text string, event_time timestamp"
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table that may legitimately not exist yet (no batch
+    has written it). Only the missing-path condition maps to None; any
+    other read failure (corrupt footer, transient FS error) re-raises —
+    swallowing it would silently skip verification or resurrect dropped
+    docs, against the engine's disclosed-never-silent contract."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if exc.getCondition() == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
+def _await_drained(query, timeout_sec: int, what: str) -> None:
+    """awaitTermination with the timeout treated as an ERROR, not a soft
+    continue: each availableNow drain must fully land before the next
+    query starts (the module docstring's no-race guarantee depends on it),
+    and the job reads kept/dropped counts only after both queries finish."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"{what} drain did not finish within {timeout_sec}s; outputs "
+            "would be incomplete — raise timeout_sec or reduce the backlog"
+        )
 
 
 def _verify_and_record(
@@ -60,9 +88,8 @@ def _verify_and_record(
         markings.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             f"{out_root}/markings"
         )
-        try:
-            landing = spark.read.parquet(f"{out_root}/landing")
-        except Exception:  # noqa: BLE001 — no docs landed yet: keep everything
+        landing = _read_if_exists(spark, f"{out_root}/landing")
+        if landing is None:  # no docs landed yet: nothing to verify against
             return
         marked_ids = (
             markings.select(F.col("doc_id").alias("doc_id"))
@@ -107,7 +134,7 @@ def drain_once(
         .trigger(availableNow=True)
         .start()
     )
-    land_q.awaitTermination(timeout_sec)
+    _await_drained(land_q, timeout_sec, "landing")
 
     marks = mark_near_dups_stream(
         spark.readStream.schema(DOC_SCHEMA).parquet(input_dir),
@@ -124,16 +151,15 @@ def drain_once(
         .trigger(availableNow=True)
         .start()
     )
-    verify_q.awaitTermination(timeout_sec)
+    _await_drained(verify_q, timeout_sec, "mark+verify")
 
 
 def kept_docs(spark: SparkSession, out_root: str) -> DataFrame:
     """The post-dedup corpus view: landed docs minus verified drops."""
     landing = spark.read.parquet(f"{out_root}/landing")
-    try:
-        drops = spark.read.parquet(f"{out_root}/drops").select(
-            F.col("drop_id").alias("doc_id")
-        )
-    except Exception:  # noqa: BLE001 — nothing dropped yet
+    drops = _read_if_exists(spark, f"{out_root}/drops")
+    if drops is None:  # nothing dropped yet
         return landing
-    return landing.join(drops, "doc_id", "left_anti")
+    return landing.join(
+        drops.select(F.col("drop_id").alias("doc_id")), "doc_id", "left_anti"
+    )

@@ -158,10 +158,14 @@ def main() -> int:
         shingle_k=args.shingle_k,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     skipped = {"buckets": 0, "rows": 0}
+    sizes = None
     if cap is not None:
+        # one aggregation over the banded frame (the job's largest
+        # intermediate) feeds BOTH the skip metrics and the <=cap filter
+        # inside candidates_from_bands
+        sizes = dedup.band_bucket_sizes(banded).persist(StorageLevel.MEMORY_AND_DISK)
         over = (
-            dedup.band_bucket_sizes(banded)
-            .filter(F.col("bucket_n") > cap)
+            sizes.filter(F.col("bucket_n") > cap)
             .agg(
                 F.count(F.lit(1)).alias("b"),
                 F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("r"),
@@ -169,11 +173,13 @@ def main() -> int:
             .first()
         )
         skipped = {"buckets": int(over["b"]), "rows": int(over["r"])}
-    candidates = dedup.candidates_from_bands(banded, max_bucket_size=cap).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    candidates = dedup.candidates_from_bands(
+        banded, max_bucket_size=cap, bucket_sizes=sizes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_cand = candidates.count()
     banded.unpersist()
+    if sizes is not None:
+        sizes.unpersist()
     mark("lsh_candidates")
     near_pairs = (
         dedup.lsh_verified_near_dups(

@@ -144,3 +144,28 @@ def test_ivf_kmeanspp_training_lifts_recall_on_clustered_data(spark):
     assert max(sizes) <= 3 * (3000 // 10), f"unbalanced IVF lists: {sorted(sizes)}"
     exact.unpersist()
     corpus.unpersist()
+
+
+def test_kmeanspp_seeds_by_direction_not_magnitude(spark):
+    """r5 review finding: D² seeding must run in the ASSIGNMENT metric
+    (cosine), so magnitude outliers — v and 5v, identical directions —
+    can never claim two seeds and starve a list. Pre-fix, unnormalized
+    squared-euclidean weights picked exactly that degenerate pair."""
+    import numpy as np
+
+    from data_profiler_spark.operators import similarity
+
+    dim = 16
+    u = [1.0] + [0.0] * (dim - 1)
+    u5 = [5.0] + [0.0] * (dim - 1)
+    w = [0.0, 1.0] + [0.0] * (dim - 2)
+    corpus = spark.createDataFrame(
+        [(0, u), (1, u5), (2, w)], "vec_id long, embedding array<double>"
+    )
+    cents = similarity.kmeanspp_seed_centroids(corpus, k=2).collect()
+    a, b = (np.array(r["__centvec"]) for r in cents)
+    cos = abs(float(a @ b)) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+    assert cos < 0.99, (
+        f"both seeds landed on one direction (cos={cos:.4f}) — "
+        "magnitude-weighted D², the metric mismatch"
+    )

@@ -360,6 +360,7 @@ def test_foreign_workbook_date_styled_serials(tmp_path):
             '<c r="D1" t="inlineStr"><is><t>d164</t></is></c>'
             '<c r="E1" t="inlineStr"><is><t>plain</t></is></c>'
             '<c r="F1" t="inlineStr"><is><t>fake_m</t></is></c>'
+            '<c r="G1" t="inlineStr"><is><t>neg</t></is></c>'
             "</row>"
             '<row r="2">'
             '<c r="A2" s="1"><v>45292</v></c>'
@@ -368,11 +369,12 @@ def test_foreign_workbook_date_styled_serials(tmp_path):
             '<c r="D2" s="4"><v>45292</v></c>'
             '<c r="E2" s="0"><v>45292</v></c>'
             '<c r="F2" s="5"><v>45292</v></c>'
+            '<c r="G2" s="1"><v>-0.25</v></c>'
             "</row>"
             "</sheetData></worksheet>",
         )
     hdr, rows = read_xlsx_rows(path)
-    assert hdr == ["d14", "d22", "t45", "d164", "plain", "fake_m"]
+    assert hdr == ["d14", "d22", "t45", "d164", "plain", "fake_m", "neg"]
     got = dict(zip(hdr, rows[0]))
     assert got["d14"] == "2024-01-01"  # builtin date style → ISO date text
     assert got["d22"] == "2024-01-01 12:00:00"  # datetime style → ISO stamp
@@ -380,3 +382,7 @@ def test_foreign_workbook_date_styled_serials(tmp_path):
     assert got["d164"] == "2024-01-01"  # custom yyyy-mm-dd numFmt
     assert got["plain"] == 45292  # General style stays numeric
     assert got["fake_m"] == 45292  # quoted "m" is a literal, not a date token
+    # r5 review finding: a NEGATIVE serial is invalid in Excel itself
+    # (renders #####) — it must fall through as the raw dirty number for
+    # coercion checks to count, never launder into a plausible time-of-day
+    assert got["neg"] == -0.25

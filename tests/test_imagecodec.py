@@ -254,3 +254,28 @@ def test_check_dims_consistency_flags_real_image(spark):
     viol = multimodal.check_dims_consistency(stats).collect()
     assert [v["clip_id"] for v in viol] == ["lied"]
     assert "declared 64x64 decoded 4x4" in viol[0]["detail"]
+
+
+def test_png_truncated_inside_crc_raises_value_error():
+    """r5 review finding: a cut INSIDE a chunk's 4-byte CRC field passed the
+    body-length check and hit struct.error instead of the module's
+    documented ValueError envelope."""
+    good = ic.encode_png(_img(4, 4, 3))
+    # layout: sig(8) + IHDR(12+13) + IDAT(12+L) + IEND(12)
+    (idat_len,) = struct.unpack_from(">I", good, 8 + 25)
+    cut = good[: 8 + 25 + 8 + idat_len + 2]  # 2 bytes into IDAT's CRC
+    with pytest.raises(ValueError, match="truncated"):
+        ic.decode_png(cut)
+
+
+def test_png_ihdr_wrong_length_raises_value_error():
+    """An IHDR whose declared length is not 13 must be a ValueError, not a
+    struct.error from the fixed-size unpack."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    body = struct.pack(">IIBBBB", 4, 4, 8, 2, 0, 0)  # 12 bytes, one short
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    with pytest.raises(ValueError, match="IHDR length"):
+        ic.decode_png(sig + chunk(b"IHDR", body) + chunk(b"IEND", b""))

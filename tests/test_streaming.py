@@ -700,3 +700,17 @@ def test_stream_neardup_lateness_decay_and_state_eviction(spark, dirs):
     assert state_rows[1] <= 8, (
         f"orig's bands were not evicted in the watermark-advancing drain: {state_rows}"
     )
+
+
+def test_read_if_exists_missing_vs_corrupt(spark, tmp_path):
+    """r5 review finding: only the missing-path condition may map to 'no
+    rows yet'; any OTHER read failure (corrupt footer here) must raise —
+    swallowing it would resurrect dropped docs / skip verification."""
+    from data_profiler_spark.streaming.neardup_pipeline import _read_if_exists
+
+    assert _read_if_exists(spark, str(tmp_path / "never_written")) is None
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"garbage, not a parquet footer")
+    with pytest.raises(Exception, match="(?i)parquet|footer|failed_read"):
+        _read_if_exists(spark, str(bad))
