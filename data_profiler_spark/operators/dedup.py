@@ -144,6 +144,11 @@ def candidates_from_bands(
     ``bucket_sizes`` — otherwise the aggregation over the job's largest
     intermediate runs twice (once here, once for the metrics).
     """
+    if bucket_sizes is not None and max_bucket_size is None:
+        raise ValueError(
+            "candidates_from_bands: bucket_sizes passed without "
+            "max_bucket_size — the frame would be silently ignored"
+        )
     if max_bucket_size is not None:
         sizes = bucket_sizes if bucket_sizes is not None else band_bucket_sizes(banded)
         ok = sizes.filter(F.col("bucket_n") <= max_bucket_size).select(

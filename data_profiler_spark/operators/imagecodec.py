@@ -168,6 +168,7 @@ def decode_png(payload: bytes, fmt: str = "png") -> np.ndarray:
     pos = len(_PNG_SIG)
     ihdr = None
     idat = bytearray()
+    saw_iend = False
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -186,10 +187,16 @@ def decode_png(payload: bytes, fmt: str = "png") -> np.ndarray:
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if ihdr is None:
         raise ValueError("png: missing IHDR")
+    if not saw_iend:
+        # a cut inside the final chunk's 8-byte length+type header (or
+        # anywhere that removes IEND) otherwise exits the loop silently
+        # with complete-looking IHDR+IDAT — truncation must never decode
+        raise ValueError("png: truncated stream (missing IEND)")
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"png: bit depth {depth} unsupported (8 only)")

@@ -59,7 +59,19 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
-        if exc.getCondition() == "PATH_NOT_FOUND":
+        # 'no rows yet' has TWO Spark conditions: the dir doesn't exist
+        # (no batch ever wrote), or a streaming file sink created the dir
+        # + _spark_metadata at query start but no file has committed yet
+        # (continuous-trigger race the module docstring documents) — that
+        # reads as unable-to-infer-schema, not PATH_NOT_FOUND. Spark 4.1
+        # still raises the latter under its legacy error template
+        # (_LEGACY_ERROR_TEMP_1134); accept the named condition too for
+        # when it graduates.
+        if exc.getCondition() in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+            "_LEGACY_ERROR_TEMP_1134",
+        ):
             return None
         raise
 

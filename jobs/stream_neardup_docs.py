@@ -60,18 +60,20 @@ def main() -> int:
     kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     landed = spark.read.parquet(f"{args.output}/landing").count()
     n_kept = spark.read.parquet(f"{args.output}/kept").count()
-    try:
-        n_marks = (
-            spark.read.parquet(f"{args.output}/markings")
-            .select(
-                F.least("doc_id", "matched_doc_id"),
-                F.greatest("doc_id", "matched_doc_id"),
-            )
-            .distinct()
-            .count()
+    # missing markings (no banded collision ever) legitimately means 0;
+    # any other read failure (corrupt footer) must fail the job, not
+    # silently report marked_pairs=0
+    markings = P._read_if_exists(spark, f"{args.output}/markings")
+    n_marks = (
+        0
+        if markings is None
+        else markings.select(
+            F.least("doc_id", "matched_doc_id"),
+            F.greatest("doc_id", "matched_doc_id"),
         )
-    except Exception:  # noqa: BLE001
-        n_marks = 0
+        .distinct()
+        .count()
+    )
     print(
         json.dumps(
             {

@@ -279,3 +279,12 @@ def test_png_ihdr_wrong_length_raises_value_error():
 
     with pytest.raises(ValueError, match="IHDR length"):
         ic.decode_png(sig + chunk(b"IHDR", body) + chunk(b"IEND", b""))
+
+
+def test_png_truncation_removing_iend_raises_value_error():
+    """r5 second-pass finding: a cut inside the FINAL chunk's 8-byte
+    length+type header exits the chunk walk silently with complete-looking
+    IHDR+IDAT — truncation must never decode."""
+    good = ic.encode_png(_img(4, 4, 3))
+    with pytest.raises(ValueError, match="IEND"):
+        ic.decode_png(good[:-5])  # 5 bytes into IEND's 12-byte chunk

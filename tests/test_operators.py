@@ -428,3 +428,17 @@ def test_distinct_counts_builder_matches_pandas(spark):
         for flag, g in pdf.groupby("l_returnflag")
     }
     assert got == want
+
+
+def test_candidates_from_bands_rejects_orphan_bucket_sizes(spark):
+    """r5 second-pass finding: a bucket_sizes frame passed without
+    max_bucket_size would be silently ignored — must raise instead."""
+    import pytest as _pytest
+
+    from data_profiler_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    banded = dedup.minhash_bands(docs, "doc_id", "text")
+    sizes = dedup.band_bucket_sizes(banded)
+    with _pytest.raises(ValueError, match="bucket_sizes"):
+        dedup.candidates_from_bands(banded, bucket_sizes=sizes)

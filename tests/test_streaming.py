@@ -714,3 +714,16 @@ def test_read_if_exists_missing_vs_corrupt(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"garbage, not a parquet footer")
     with pytest.raises(Exception, match="(?i)parquet|footer|failed_read"):
         _read_if_exists(spark, str(bad))
+
+
+def test_read_if_exists_streaming_sink_dir_before_first_commit(spark, tmp_path):
+    """r5 second-pass finding: a file-stream sink creates the dir +
+    _spark_metadata at query START, before any batch commits — that state
+    reads as UNABLE_TO_INFER_SCHEMA, and is the second legitimate
+    'no rows yet' condition (the continuous-trigger race the pipeline
+    docstring documents as doc-KEPT, never a crash)."""
+    from data_profiler_spark.streaming.neardup_pipeline import _read_if_exists
+
+    sink = tmp_path / "landing"
+    (sink / "_spark_metadata").mkdir(parents=True)
+    assert _read_if_exists(spark, str(sink)) is None
