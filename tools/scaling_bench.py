@@ -142,6 +142,16 @@ def main() -> int:
         default=None,
         help="reuse an already-materialized input dir (skips write_input)",
     )
+    ap.add_argument(
+        "--trials-4n",
+        type=int,
+        default=None,
+        help="trial count for the 4N (high-core) leg of each pair; defaults "
+        "to --trials. Measured need: the low-core leg plateaus by trial 2, "
+        "but high-core legs ramp slowly in-session (JIT + ZGC heap growth "
+        "spread across more threads), so their best-trial estimate needs a "
+        "longer series to converge.",
+    )
     args = ap.parse_args()
 
     subprocess.run(
@@ -153,9 +163,11 @@ def main() -> int:
     input_dir = args.input_dir or write_input(args.n)
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     cores_needed = sorted({c for p in pairs for c in p})
+    high_legs = {hi for _, hi in pairs}
     results: dict[int, dict] = {}
     for cores in cores_needed:
-        res = run_once(cores, args.n, input_dir, args.trials)
+        trials = args.trials_4n if (args.trials_4n and cores in high_legs) else args.trials
+        res = run_once(cores, args.n, input_dir, trials)
         print(f"local[{cores}]: {res}", file=sys.stderr)
         results[cores] = res
 
