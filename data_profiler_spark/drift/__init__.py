@@ -3,4 +3,5 @@ from data_profiler_spark.drift.drift import (  # noqa: F401
     ks_binned,
     ks_exact_by_group,
     psi,
+    psi_paired,
 )

@@ -9,7 +9,9 @@ verdict-ready booleans.
 Scale design:
 - PSI and binned-KS operate on *histograms* (≤ a few hundred rows per
   column) — the only pass over the data is the histogram aggregation
-  itself; the drift math is a broadcast join of two tiny tables.
+  itself; the drift math is windows + aggregation over those tiny frames
+  (no self-join: a groupBy-totals + join-back shape would re-derive the
+  histogram subtree and pay a second input scan).
 - :func:`ks_exact_by_group` is the exact two-sample KS for *bounded* groups
   (e.g. per-codec within a partition) via applyInPandas — Arrow-batched,
   vectorized numpy inside, never applied to an unbounded global column.
@@ -51,14 +53,45 @@ def psi(
     joined = cur.join(base, [*keys, "bucket"], "full_outer").fillna(
         0, subset=["c_cnt", "b_cnt"]
     )
-    tot = joined.groupBy(*keys).agg(
-        F.sum("c_cnt").alias("c_tot"), F.sum("b_cnt").alias("b_tot")
-    )
-    j = joined.join(F.broadcast(tot), keys)
-    p = F.col("c_cnt") / F.col("c_tot") + EPS
-    q = F.col("b_cnt") / F.col("b_tot") + EPS
+    return _psi_of_joined(joined, keys)
+
+
+def psi_paired(counts: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """PSI from a pre-paired per-bucket counts frame — the single-scan shape.
+
+    ``counts`` carries (column, *group_cols, bucket, c_cnt, b_cnt): both
+    populations' counts per bucket, typically produced by ONE conditional
+    aggregation over a table that holds both (e.g. current vs. baseline
+    segments of the same events table). :func:`psi` joins two separately
+    built histograms — the right shape when the baseline is a persisted
+    snapshot; when both populations live in one table, building the two
+    histograms separately scans it twice and full-outer-joins what one
+    ``sum(when(...))`` aggregation produces directly. Same math, same
+    ε-smoothing, identical output (a bucket absent from one population is a
+    0 count here exactly as the full-outer join + fillna(0) yields there —
+    pinned by tests/test_drift.py).
+    """
+    keys = ["column", *(group_cols or [])]
+    return _psi_of_joined(counts, keys)
+
+
+def _psi_of_joined(joined: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared PSI core over (keys..., bucket, c_cnt, b_cnt) rows.
+
+    Totals come from a window over the counts frame, not a groupBy +
+    self-join: the frame is ≤ nbins+2 rows per key (same bounded-window
+    argument as :func:`ks_binned`), and the self-join shape would re-derive
+    the counts subtree — at scan level, that's a SECOND pass over the input
+    table for a sum the window gets in place."""
+    w = Window.partitionBy(*keys)
+    p = F.col("c_cnt") / F.sum("c_cnt").over(w) + EPS
+    q = F.col("b_cnt") / F.sum("b_cnt").over(w) + EPS
     term = (p - q) * F.log(p / q)
-    return j.groupBy(*keys).agg(F.sum(term).alias("psi"))
+    return (
+        joined.select(*keys, term.alias("__psi_term"))
+        .groupBy(*keys)
+        .agg(F.sum("__psi_term").alias("psi"))
+    )
 
 
 def ks_binned(

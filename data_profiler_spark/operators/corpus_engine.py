@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from data_profiler_spark.audio.decode import decode_stats
 from data_profiler_spark.checks import constraints
-from data_profiler_spark.drift.drift import ks_exact_by_group, psi
+from data_profiler_spark.drift.drift import ks_exact_by_group, psi_paired
 from data_profiler_spark.fixtures import generate_clips
 from data_profiler_spark.operators.corpus_relational import T
 from data_profiler_spark.profiling.profile import column_profile, outlier_counts
@@ -265,29 +265,37 @@ def _outlier_sql() -> str:
 PSI_LO, PSI_HI, PSI_N = 0.0, 200.0, 20
 
 
-def _event_hist(ev: DataFrame, width: float) -> DataFrame:
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of purchase-event values vs the view/click baseline, through the
+    engine's psi_paired() pipeline: both populations live in the SAME events
+    table, so ONE conditional aggregation over ONE scan produces both
+    histograms — the two-scan shape (separate _event_hist per population +
+    full-outer join, what psi() is for when the baseline is a persisted
+    snapshot) reads the table twice for no extra information. Identical
+    output (same bucketing, same ε-smoothing; the single-scan == two-scan
+    equivalence is pinned by tests/test_drift.py); events appears exactly
+    once in this entry's plan (tests/test_plan_audit.py)."""
+    ev = T(spark, sf_dir, "events")
+    width = (PSI_HI - PSI_LO) / PSI_N
     v = F.col("value")
     bucket = (
         F.when(v < PSI_LO, F.lit(0))
         .when(v >= PSI_HI, F.lit(PSI_N + 1))
         .otherwise(F.floor((v - PSI_LO) / width) + 1)
     )
-    return (
-        ev.filter(v.isNotNull())
+    is_cur = F.col("event_type") == "purchase"
+    counts = (
+        ev.filter(
+            v.isNotNull() & F.col("event_type").isin("purchase", "view", "click")
+        )
         .groupBy(bucket.cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(
+            F.sum(is_cur.cast("long")).alias("c_cnt"),
+            F.sum((~is_cur).cast("long")).alias("b_cnt"),
+        )
         .withColumn("column", F.lit("value"))
     )
-
-
-def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI of purchase-event values vs the view/click baseline, through the
-    engine's psi() histogram-join pipeline."""
-    ev = T(spark, sf_dir, "events")
-    width = (PSI_HI - PSI_LO) / PSI_N
-    cur = _event_hist(ev.filter(F.col("event_type") == "purchase"), width)
-    base = _event_hist(ev.filter(F.col("event_type").isin("view", "click")), width)
-    return psi(cur, base).select("column", F.round("psi", 6).alias("psi"))
+    return psi_paired(counts).select("column", F.round("psi", 6).alias("psi"))
 
 
 PSI_DRIFT_SQL = f"""

@@ -5,8 +5,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
-from data_profiler_spark.drift import ks_binned, ks_exact_by_group, psi
+from data_profiler_spark.drift import ks_binned, ks_exact_by_group, psi, psi_paired
 from data_profiler_spark.profiling import histogram
 
 
@@ -29,6 +30,31 @@ def test_psi_detects_shift(spark):
     cur = _hist(spark, rng.normal(65, 10, 4000), 0, 100, 20)
     r = psi(cur, base).collect()[0]
     assert r["psi"] > 0.25  # standard "drifted" threshold
+
+
+def test_psi_paired_equals_two_frame_psi(spark):
+    """Single-scan shape == two-histogram shape, including one-sided buckets
+    (present in only one population → the other side is a 0 count, exactly
+    what psi()'s full-outer join + fillna(0) produces)."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(35, 6, 3000)  # leaves high buckets empty
+    b = rng.normal(65, 6, 3000)  # leaves low buckets empty
+    lo, hi, nb = 0.0, 100.0, 20
+    cur, base = _hist(spark, a, lo, hi, nb), _hist(spark, b, lo, hi, nb)
+    want = psi(cur, base).collect()[0]["psi"]
+
+    counts = (
+        cur.selectExpr("column", "bucket", "count AS c_cnt", "CAST(0 AS LONG) AS b_cnt")
+        .unionByName(
+            base.selectExpr(
+                "column", "bucket", "CAST(0 AS LONG) AS c_cnt", "count AS b_cnt"
+            )
+        )
+        .groupBy("column", "bucket")
+        .agg(F.sum("c_cnt").alias("c_cnt"), F.sum("b_cnt").alias("b_cnt"))
+    )
+    got = psi_paired(counts).collect()[0]["psi"]
+    assert got == pytest.approx(want, rel=1e-12)
 
 
 def test_psi_matches_numpy_oracle(spark):

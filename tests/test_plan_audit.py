@@ -70,6 +70,30 @@ EXTRA_FORBIDDEN: dict[str, list[str]] = {
 }
 
 
+def _scan_count(plan: str, table: str) -> int:
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "FileScan" in line and f"{table}.parquet" in line
+    )
+
+
+def test_psi_drift_scans_events_once(spark):
+    """psi_drift builds BOTH populations' histograms from one conditional
+    aggregation — one events scan, not a scan per population (the r5 fusion;
+    both populations live in the same table, so a second scan buys nothing).
+    drift_scores adds the exact-KS path on top: one scan for the KS groups
+    (raw values — not derivable from the PSI histogram), for 2 in-plan scans
+    total (the md5-sampled KS baseline is a separate eager job by design —
+    it stands in for a persisted baseline sample)."""
+    from data_profiler_spark.operators.corpus_engine import drift_scores, psi_drift
+
+    plan = psi_drift(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert _scan_count(plan, "events") == 1, plan.splitlines()[:30]
+    plan = drift_scores(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert _scan_count(plan, "events") == 2, plan.splitlines()[:30]
+
+
 @pytest.mark.parametrize("name", list(CORPUS))
 def test_corpus_plan_is_scale_shaped(spark, name):
     fn, _ = CORPUS[name]
