@@ -61,24 +61,29 @@ def part_material_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The reference's ib/ob subqueries read different tables; here both
     # channels live in lineitem, so they FUSE into one conditional-sum agg —
-    # one scan instead of two (each scan is 600M+ rows at sf100).
-    ship_ret = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("ship_qty"),
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast(DEC))
-        ).alias("ret_qty"),
-    )
-    # two-level: per (month, part) sum → per part avg/max (inv_by_sku shape)
+    # and (r5) the per-part totals re-aggregate the (month, part) frame
+    # instead of scanning lineitem again: sum over months of the monthly
+    # qty IS the total ship qty, so ship/ret/inv all come out of ONE
+    # lineitem pass (each avoided scan is 600M+ rows at sf100; the
+    # second-level agg runs over |months|x|parts| rows, not row data).
     monthly = li.groupBy(
         F.date_trunc("month", F.col("l_shipdate")).alias("period"), "l_partkey"
-    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
-    inv = monthly.groupBy("l_partkey").agg(
-        F.sum("qty").alias("inv_sum"), F.max("qty").cast("double").alias("max_monthly_qty")
+    ).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast(DEC))
+        ).alias("ret_qty_m"),
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum("qty").alias("ship_qty"),
+        F.sum("ret_qty_m").alias("ret_qty"),
+        F.sum("qty").alias("inv_sum"),
+        F.max("qty").cast("double").alias("max_monthly_qty"),
     )
 
     out = (
-        part.join(ship_ret, part.p_partkey == ship_ret.l_partkey, "left").drop("l_partkey")
-        .join(inv, part.p_partkey == inv.l_partkey, "left").drop("l_partkey")
+        part.join(per_part, part.p_partkey == per_part.l_partkey, "left")
+        .drop("l_partkey")
         .crossJoin(F.broadcast(days))
     )
     return out.select(

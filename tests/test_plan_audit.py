@@ -70,28 +70,69 @@ EXTRA_FORBIDDEN: dict[str, list[str]] = {
 }
 
 
-def _scan_count(plan: str, table: str) -> int:
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "FileScan" in line and f"{table}.parquet" in line
-    )
+def _physical_scans(df) -> tuple[dict[str, int], int]:
+    """Walk the physical plan TREE (not its toString — InMemoryTableScan
+    prints its cached child plan inline, so string-counting FileScan lines
+    over-counts wherever pin_cache is in play) and return
+    ({table: file_scan_count}, in_memory_scan_count). A pinned frame costs
+    its FileScans ONCE at cache materialization; each InMemoryTableScan
+    afterwards is a memory read, not input I/O."""
+    import re
+
+    p = df._jdf.queryExecution().executedPlan()
+    plan = p.initialPlan() if p.nodeName() == "AdaptiveSparkPlan" else p
+    file_scans: dict[str, int] = {}
+    in_mem = 0
+
+    def walk(node):
+        nonlocal in_mem
+        nn = node.nodeName()
+        if nn.startswith("Scan"):
+            m = re.search(r"(\w+)\.parquet", node.simpleString(10_000))
+            t = m.group(1) if m else "?"
+            file_scans[t] = file_scans.get(t, 0) + 1
+        elif "InMemoryTableScan" in nn:
+            in_mem += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(plan)
+    return file_scans, in_mem
 
 
-def test_psi_drift_scans_events_once(spark):
-    """psi_drift builds BOTH populations' histograms from one conditional
-    aggregation — one events scan, not a scan per population (the r5 fusion;
-    both populations live in the same table, so a second scan buys nothing).
-    drift_scores adds the exact-KS path on top: one scan for the KS groups
-    (raw values — not derivable from the PSI histogram), for 2 in-plan scans
-    total (the md5-sampled KS baseline is a separate eager job by design —
-    it stands in for a persisted baseline sample)."""
+def test_single_scan_fusions(spark):
+    """Scan-count pins for the r5 fusions — each entry reads its fact table
+    the minimum number of times its semantics allow:
+
+    - psi_drift: ONE events scan (both populations' histograms from one
+      conditional aggregation — they live in the same table, so a second
+      scan buys nothing); drift_scores adds exactly one more for the
+      exact-KS raw values (not derivable from the PSI histogram; the
+      md5-sampled KS baseline is a separate eager job by design — it stands
+      in for a persisted baseline sample).
+    - monthly_type_counts_filled: ZERO in-plan events FileScans — the
+      month/type universes, counts, and fill-grid all read the pinned
+      (months × ≤3)-row aggregate (one events scan at materialization).
+    - quantile_sketch: ONE in-plan lineitem scan (the rank-check join-back;
+      the sketch agg is pinned) — two physical passes total, both inherent.
+    - part_material_flow: TWO lineitem scans (day-grain distinct counts +
+      the (month, part) agg that all per-part totals re-aggregate) — the
+      third per-part conditional-sum scan was fused into the monthly agg.
+    """
     from data_profiler_spark.operators.corpus_engine import drift_scores, psi_drift
 
-    plan = psi_drift(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert _scan_count(plan, "events") == 1, plan.splitlines()[:30]
-    plan = drift_scores(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-    assert _scan_count(plan, "events") == 2, plan.splitlines()[:30]
+    fs, _ = _physical_scans(psi_drift(spark, SF_DIR))
+    assert fs.get("events") == 1, fs
+    fs, _ = _physical_scans(drift_scores(spark, SF_DIR))
+    assert fs.get("events") == 2, fs
+
+    fs, im = _physical_scans(CORPUS["monthly_type_counts_filled"][0](spark, SF_DIR))
+    assert "events" not in fs and im >= 2, (fs, im)
+    fs, im = _physical_scans(CORPUS["quantile_sketch"][0](spark, SF_DIR))
+    assert fs.get("lineitem") == 1 and im >= 1, (fs, im)
+    fs, _ = _physical_scans(CORPUS["part_material_flow"][0](spark, SF_DIR))
+    assert fs.get("lineitem") == 2 and fs.get("part") == 1, fs
 
 
 @pytest.mark.parametrize("name", list(CORPUS))
