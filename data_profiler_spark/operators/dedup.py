@@ -302,33 +302,50 @@ def ngram_jaccard_pairs(
     At scale this runs on LSH candidates, not the full corpus: the
     shingle-join fan-out is quadratic in per-shingle document frequency, so
     `minhash_lsh_candidates` prunes first and this verifies.
+
+    The shingle-set SIZE rides each exploded row (``size(array_distinct(…))``
+    is known before the explode, so it costs nothing) and survives the pair
+    groupBy as a grouping key — id functionally determines it. The
+    alternative (a separate per-id sizes aggregate joined back onto the
+    pairs, twice) re-derives the shingle frame twice more: two extra input
+    scans and two extra joins for numbers the rows already carry.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
-    ).select(
-        "id",
-        F.explode(F.array_distinct(word_shingles_of(F.col("__toks"), shingle_k))).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh = _shingle_rows(df, id_col, text_col, shingle_k)
     a = sh.alias("a")
     b = sh.alias("b")
-    shared = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, n, shingle) rows: one row per distinct word-k-shingle, with the
+    document's distinct-shingle count carried on every row (free — computed
+    on the array before the explode). Docs with no shingles vanish, exactly
+    as the explode always made them."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles_of(tokens(text_col), shingle_k)).alias("__sh"),
+    ).select(
+        "id",
+        F.size("__sh").alias("n"),
+        F.explode("__sh").alias("shingle"),
     )
 
 
@@ -361,26 +378,14 @@ def lsh_verified_near_dups(
         df, id_col, text_col, num_hashes=num_hashes,
         rows_per_band=rows_per_band, shingle_k=shingle_k,
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
-    ).select(
-        "id",
-        F.explode(F.array_distinct(word_shingles_of(F.col("__toks"), shingle_k))).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
+    sh = _shingle_rows(df, id_col, text_col, shingle_k)
+    a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "shingle")
+    return (
         cand.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
