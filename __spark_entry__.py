@@ -6,14 +6,18 @@ queries()         — one entry per implemented operator family from
                     SURVEY.md §2 plus the training-data-pipeline operators
                     (dedup / similarity / text) — see
                     data_profiler_spark/operators/corpus*.py.
-oracle_sql()      — matching DuckDB SQL for every entry except the two
+oracle_sql()      — matching DuckDB SQL for every entry except the three
                     binary-payload rows-only tails: audio_decode_stats
                     (PCM fidelity pytest-verified at SNR ≥ 30 dB,
-                    tests/test_audio.py) and media_decode_stats (r5: real
+                    tests/test_audio.py), media_decode_stats (r5: real
                     BMP encode→decode→stats through the multimodal
                     registry incl. seeded corruption violations;
                     pixel-exact round-trips pytest-verified in
-                    tests/test_imagecodec.py). The HLL/GK sketch entries
+                    tests/test_imagecodec.py), and video_frame_stats
+                    (r5: real uncompressed-AVI encode→decode→frame-sample→
+                    image-stats chain incl. seeded corruption;
+                    bit-exact round-trips pytest-verified in
+                    tests/test_videocodec.py). The HLL/GK sketch entries
                     are oracled since r3: exact counterpart values
                     hash-match DuckDB and the sketch error bounds are
                     verified in-plan (booleans pinned true by the oracle).

@@ -42,7 +42,7 @@ from data_profiler_spark.operators.corpus_text import TEXT_QUERIES
 
 _DRIVER_WINDOW = 50
 
-_TAIL_NAMES = ("audio_decode_stats", "media_decode_stats")
+_TAIL_NAMES = ("audio_decode_stats", "media_decode_stats", "video_frame_stats")
 
 CORPUS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # new/changed this round lead, so they cannot fall out of the window

@@ -397,6 +397,87 @@ def media_decode_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def video_frame_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling through the multimodal registry
+    (no SQL oracle — binary codec; bit-exact round-trips are pytest's job,
+    tests/test_videocodec.py). Payloads are genuine uncompressed-AVI bytes
+    (operators/videocodec.py) built deterministically from each document's
+    text (md5-seeded 3-frame 8×6 clips), so the driver's rows-only check
+    drives the FULL video chain end-to-end on the documents table:
+    encode → video_decode_stats (per-clip frames/dims/fps/duration) →
+    frame_sample (2 evenly spaced frames re-encoded as BMP stills) →
+    media_decode_stats on the sampled stills, aggregated back per clip. A
+    seeded 1-in-16 corruption (truncated payload) exercises the
+    violation-row contract through every stage in the same pass."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from data_profiler_spark.operators import multimodal, videocodec
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(128)
+    )
+
+    N_F, H, W = 3, 8, 6
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"media_id": [], "payload": [], "fmt": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.md5((text or "").encode()).digest()
+                need = N_F * H * W * 3
+                px = np.frombuffer(
+                    (seed * (need // len(seed) + 1))[:need], dtype=np.uint8
+                ).reshape(N_F, H, W, 3)
+                payload = videocodec.encode_avi(px, fps=10.0)
+                if int(doc_id) % 16 == 0:  # seeded corruption: truncated file
+                    payload = payload[: len(payload) // 2]
+                out["media_id"].append(str(doc_id))
+                out["payload"].append(payload)
+                out["fmt"].append("avi")
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, schema="media_id string, payload binary, fmt string")
+    vstats = multimodal.video_decode_stats(media).select(
+        "media_id",
+        "decode_ok",
+        "n_bytes",
+        "n_frames",
+        "dec_height",
+        "dec_width",
+        F.round("fps", 3).alias("fps"),
+        F.round("duration_ms", 3).alias("duration_ms"),
+        F.round("mean_intensity", 5).alias("video_mean_intensity"),
+    )
+    sampled = multimodal.frame_sample(media, n_samples=2)
+    fstats = multimodal.media_decode_stats(
+        sampled.filter(F.col("sample_err").isNull()).select(
+            F.concat_ws("#", "media_id", "frame_idx").alias("media_id"),
+            "payload",
+            "fmt",
+            F.col("media_id").alias("clip_id"),
+        ),
+        passthrough=["clip_id"],
+    )
+    per_clip = fstats.groupBy(F.col("clip_id").alias("media_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_sampled"),
+        F.round(F.avg("mean_intensity"), 5).alias("sampled_mean_intensity"),
+    )
+    return (
+        vstats.join(per_clip, "media_id", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .orderBy("media_id")
+    )
+
+
 KS_BASELINE_N = 4096
 
 
@@ -498,4 +579,5 @@ ENGINE_QUERIES = {
     "drift_scores": (drift_scores, DRIFT_SCORES_SQL),
     "audio_decode_stats": (audio_decode_stats, None),
     "media_decode_stats": (media_decode_stats_entry, None),
+    "video_frame_stats": (video_frame_stats_entry, None),
 }

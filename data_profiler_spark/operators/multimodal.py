@@ -296,3 +296,167 @@ def check_dims_consistency(stats: DataFrame, tol: int = 0) -> DataFrame:
         pid.cast("int").alias("partition_id"),
         detail.cast("string").alias("detail"),
     )
+
+
+# ------------------------------------------------------------- video ----
+# Video decoders return ((n_frames, h, w, 3) uint8 RGB, fps) — a different
+# kind than the image Decoder, so they get their own registry. The real
+# zero-dep instance is uncompressed RIFF/AVI (operators/videocodec.py);
+# a production deployment registers an ffmpeg-backed function with the
+# same signature and nothing else changes.
+VideoDecoder = Callable[[bytes, str], "tuple[np.ndarray, float]"]
+
+_VIDEO_DECODERS: dict[str, VideoDecoder] = {}
+
+
+def register_video_decoder(fmt: str, decoder: VideoDecoder) -> None:
+    _VIDEO_DECODERS[fmt] = decoder
+
+
+def unregistered_video_decoder(payload: bytes, fmt: str):
+    raise NotImplementedError(
+        f"no video decoder registered for format {fmt!r}: codec libraries "
+        "are not available in this environment; register a real decoder via "
+        "multimodal.register_video_decoder(fmt, fn)"
+    )
+
+
+from data_profiler_spark.operators import videocodec as _videocodec  # noqa: E402
+
+register_video_decoder("avi", _videocodec.decode_avi)
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_err", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("dec_height", T.IntegerType(), True),
+        T.StructField("dec_width", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("std_intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def video_decode_stats(
+    media: DataFrame, passthrough: list[str] | None = None
+) -> DataFrame:
+    """Per-clip video decode + stats via mapInPandas (the media_decode_stats
+    pattern): one Arrow batch in, fixed-width stats out, payload dropped at
+    the operator boundary so the binary column never shuffles. Undecodable
+    payloads become decode_err rows (violation-row contract)."""
+    passthrough = [
+        c
+        for c in (passthrough or [])
+        if c not in {f.name for f in VIDEO_STATS_SCHEMA.fields} and c != "payload"
+    ]
+    in_fields = {f.name: f for f in media.schema.fields}
+    out_schema = T.StructType(
+        list(VIDEO_STATS_SCHEMA.fields) + [in_fields[c] for c in passthrough]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {f.name: [] for f in VIDEO_STATS_SCHEMA.fields}
+            for payload, fmt, mid in zip(pdf["payload"], pdf["fmt"], pdf["media_id"]):
+                row: dict = {f.name: None for f in VIDEO_STATS_SCHEMA.fields}
+                row.update(
+                    media_id=mid,
+                    decode_ok=False,
+                    n_bytes=len(payload) if payload is not None else None,
+                )
+                try:
+                    dec = _VIDEO_DECODERS.get(fmt, unregistered_video_decoder)
+                    frames, fps = dec(payload, fmt)
+                    row["decode_ok"] = True
+                    row["n_frames"] = int(frames.shape[0])
+                    row["dec_height"] = int(frames.shape[1])
+                    row["dec_width"] = int(frames.shape[2])
+                    row["fps"] = float(fps)
+                    row["duration_ms"] = (
+                        float(frames.shape[0] / fps * 1000.0) if fps > 0 else None
+                    )
+                    row["mean_intensity"] = float(frames.mean(dtype=np.float64))
+                    row["std_intensity"] = float(frames.std(dtype=np.float64))
+                except Exception as e:  # noqa: BLE001 — violation-row contract
+                    row["decode_err"] = f"{type(e).__name__}: {e}"
+                for k, v in row.items():
+                    out[k].append(v)
+            res = pd.DataFrame(out, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields])
+            for c in passthrough:
+                res[c] = pdf[c].to_numpy()
+            yield res
+
+    cols = list(dict.fromkeys(["media_id", "payload", "fmt"] + passthrough))
+    return media.select(*cols).mapInPandas(op, schema=out_schema)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("sample_err", T.StringType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, n_samples: int = 4, image_fmt: str = "bmp"
+) -> DataFrame:
+    """Deterministic frame sampling: decode each clip, take ``n_samples``
+    evenly spaced frames (first and last always included when n_samples > 1
+    — np.linspace over [0, n_frames-1], deduplicated for short clips), and
+    re-encode each as a still image through the IMAGE encoder registry, so
+    the output rows are ordinary media rows that feed straight back into
+    media_decode_stats / resize_media / payload_fingerprint.
+
+    One mapInPandas pass; a clip that fails to decode (or an unregistered
+    image_fmt) yields ONE row with sample_err set and a NULL payload — the
+    violation-row contract, and the row count stays an audit trail of which
+    clips were skipped."""
+    if n_samples < 1:
+        raise ValueError(f"frame_sample: n_samples must be >= 1, got {n_samples}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {f.name: [] for f in FRAME_SAMPLE_SCHEMA.fields}
+
+            def emit(mid, idx, payload, fmt, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["payload"].append(payload)
+                out["fmt"].append(fmt)
+                out["sample_err"].append(err)
+
+            for payload, fmt, mid in zip(pdf["payload"], pdf["fmt"], pdf["media_id"]):
+                try:
+                    dec = _VIDEO_DECODERS.get(fmt, unregistered_video_decoder)
+                    enc = _ENCODERS.get(image_fmt)
+                    if enc is None:
+                        raise NotImplementedError(
+                            f"no image encoder registered for {image_fmt!r}"
+                        )
+                    frames, _ = dec(payload, fmt)
+                    n = frames.shape[0]
+                    idxs = np.unique(
+                        np.linspace(0, n - 1, min(n_samples, n)).round().astype(int)
+                    )
+                    for i in idxs:
+                        emit(mid, int(i), enc(frames[i], image_fmt), image_fmt, None)
+                except Exception as e:  # noqa: BLE001 — violation-row contract
+                    emit(mid, None, None, image_fmt, f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return media.select("media_id", "payload", "fmt").mapInPandas(
+        op, schema=FRAME_SAMPLE_SCHEMA
+    )
