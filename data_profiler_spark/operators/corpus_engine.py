@@ -337,32 +337,38 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def media_decode_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode through the multimodal registry (no SQL oracle —
-    binary codec; pixel-exact round-trips are pytest's job,
-    tests/test_imagecodec.py). Payloads are genuine BMP bytes built
-    deterministically from each document's text (md5-seeded 8×6 RGB), so
-    the driver's rows-only check drives encode → Arrow batch → decode →
-    stats end-to-end on the documents table; a seeded 1-in-16 corruption
-    (truncated payload) exercises the violation-row contract in the same
-    pass."""
+def _seeded_doc_media(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int,
+    fmt: str,
+    shape: tuple[int, ...],
+    encoder,
+) -> DataFrame:
+    """(media_id, payload, fmt) rows built deterministically from the first
+    ``n_docs`` documents — the shared synthesis both binary-media corpus
+    entries use: md5(text) seeds a tiled uint8 pixel buffer of ``shape``,
+    ``encoder(px)`` produces the payload, and every 16th doc_id's payload is
+    truncated to half (seeded corruption: the violation-row contract gets
+    exercised in the same pass). orderBy before limit: a bare LIMIT takes
+    whichever partitions win the race, so the doc subset (and the corruption
+    placement) would differ run to run; TakeOrdered pins it, still bounded.
+    """
     import hashlib
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from data_profiler_spark.operators import imagecodec, multimodal
-
-    # orderBy before limit: a bare LIMIT takes whichever partitions win the
-    # race, so the 256-doc subset (and the 1-in-16 corruption placement)
-    # would differ run to run; TakeOrdered pins it, still bounded.
     docs = (
         T(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .limit(256)
+        .limit(n_docs)
     )
+    need = 1
+    for d in shape:
+        need *= d
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -371,20 +377,36 @@ def media_decode_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"media_id": [], "payload": [], "fmt": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = hashlib.md5((text or "").encode()).digest()
-                px = (
-                    np.frombuffer((seed * ((8 * 6 * 3) // len(seed) + 1))[: 8 * 6 * 3],
-                                  dtype=np.uint8)
-                    .reshape(8, 6, 3)
-                )
-                payload = imagecodec.encode_bmp(px)
+                px = np.frombuffer(
+                    (seed * (need // len(seed) + 1))[:need], dtype=np.uint8
+                ).reshape(shape)
+                payload = encoder(px)
                 if int(doc_id) % 16 == 0:  # seeded corruption: truncated file
                     payload = payload[: len(payload) // 2]
                 out["media_id"].append(str(doc_id))
                 out["payload"].append(payload)
-                out["fmt"].append("bmp")
+                out["fmt"].append(fmt)
             yield pd.DataFrame(out)
 
-    media = docs.mapInPandas(encode, schema="media_id string, payload binary, fmt string")
+    return docs.mapInPandas(
+        encode, schema="media_id string, payload binary, fmt string"
+    )
+
+
+def media_decode_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal registry (no SQL oracle —
+    binary codec; pixel-exact round-trips are pytest's job,
+    tests/test_imagecodec.py). Payloads are genuine BMP bytes built
+    deterministically from each document's text (md5-seeded 8×6 RGB via
+    ``_seeded_doc_media``), so the driver's rows-only check drives
+    encode → Arrow batch → decode → stats end-to-end on the documents
+    table; the builder's seeded 1-in-16 corruption (truncated payload)
+    exercises the violation-row contract in the same pass."""
+    from data_profiler_spark.operators import imagecodec, multimodal
+
+    media = _seeded_doc_media(
+        spark, sf_dir, 256, "bmp", (8, 6, 3), imagecodec.encode_bmp
+    )
     stats = multimodal.media_decode_stats(media)
     return stats.select(
         "media_id",
@@ -406,46 +428,22 @@ def video_frame_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     drives the FULL video chain end-to-end on the documents table:
     encode → video_decode_stats (per-clip frames/dims/fps/duration) →
     frame_sample (2 evenly spaced frames re-encoded as BMP stills) →
-    media_decode_stats on the sampled stills, aggregated back per clip. A
-    seeded 1-in-16 corruption (truncated payload) exercises the
-    violation-row contract through every stage in the same pass."""
-    import hashlib
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
+    media_decode_stats on the sampled stills, aggregated back per clip.
+    The builder's seeded 1-in-16 corruption (truncated payload) exercises
+    the violation-row contract through every stage in the same pass. The
+    media frame is pinned: BOTH video_decode_stats and frame_sample
+    consume it, and unpinned each branch would re-run the docs scan + the
+    md5/AVI-encode UDF (the re-derived-subtree shape the r5 scan audit
+    eliminates everywhere else); it is 128 rows of ~1 KB payloads."""
+    from data_profiler_spark.functions.windows import pin_cache
     from data_profiler_spark.operators import multimodal, videocodec
 
-    docs = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-        .limit(128)
+    media = pin_cache(
+        _seeded_doc_media(
+            spark, sf_dir, 128, "avi", (3, 8, 6, 3),
+            lambda px: videocodec.encode_avi(px, fps=10.0),
+        )
     )
-
-    N_F, H, W = 3, 8, 6
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {"media_id": [], "payload": [], "fmt": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                seed = hashlib.md5((text or "").encode()).digest()
-                need = N_F * H * W * 3
-                px = np.frombuffer(
-                    (seed * (need // len(seed) + 1))[:need], dtype=np.uint8
-                ).reshape(N_F, H, W, 3)
-                payload = videocodec.encode_avi(px, fps=10.0)
-                if int(doc_id) % 16 == 0:  # seeded corruption: truncated file
-                    payload = payload[: len(payload) // 2]
-                out["media_id"].append(str(doc_id))
-                out["payload"].append(payload)
-                out["fmt"].append("avi")
-            yield pd.DataFrame(out)
-
-    media = docs.mapInPandas(encode, schema="media_id string, payload binary, fmt string")
     vstats = multimodal.video_decode_stats(media).select(
         "media_id",
         "decode_ok",

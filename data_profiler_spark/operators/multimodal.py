@@ -99,59 +99,73 @@ def encode_fake_rgb(pixels: np.ndarray) -> bytes:
     return h.to_bytes(4, "big") + w.to_bytes(4, "big") + pixels.tobytes()
 
 
-def media_decode_stats(media: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
-    """Per-item decode + pixel stats via mapInPandas (audio decode_stats
-    pattern): one Arrow batch in, fixed-width stats out, payload dropped."""
+def _decode_stats_map(
+    media: DataFrame,
+    stats_schema: T.StructType,
+    compute: "Callable[[bytes | None, str], dict]",
+    passthrough: list[str] | None,
+) -> DataFrame:
+    """Shared mapInPandas harness for per-item decode→stats operators
+    (image media_decode_stats / video video_decode_stats): one Arrow batch
+    in, fixed-width stats out, payload dropped at the operator boundary so
+    the binary column never shuffles. ``compute(payload, fmt)`` returns the
+    per-item stat columns for a successful decode; any exception it raises
+    becomes a decode_err row (violation-row contract: a production decoder
+    can raise OSError/struct.error/IndexError on truncated payloads; none
+    of them may fail the job)."""
     passthrough = [
         c
         for c in (passthrough or [])
-        if c not in {f.name for f in MEDIA_STATS_SCHEMA.fields} and c != "payload"
+        if c not in {f.name for f in stats_schema.fields} and c != "payload"
     ]
     in_fields = {f.name: f for f in media.schema.fields}
     out_schema = T.StructType(
-        list(MEDIA_STATS_SCHEMA.fields) + [in_fields[c] for c in passthrough]
+        list(stats_schema.fields) + [in_fields[c] for c in passthrough]
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out: dict[str, list] = {f.name: [] for f in MEDIA_STATS_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in stats_schema.fields}
             for payload, fmt, mid in zip(pdf["payload"], pdf["fmt"], pdf["media_id"]):
-                row: dict = {
-                    "media_id": mid,
-                    "decode_ok": False,
-                    "decode_err": None,
-                    "n_bytes": len(payload) if payload is not None else None,
-                    "dec_height": None,
-                    "dec_width": None,
-                    "channels": None,
-                    "mean_intensity": None,
-                    "std_intensity": None,
-                }
+                row: dict = {f.name: None for f in stats_schema.fields}
+                row.update(
+                    media_id=mid,
+                    decode_ok=False,
+                    n_bytes=len(payload) if payload is not None else None,
+                )
                 try:
-                    dec = _DECODERS.get(fmt, unregistered_decoder)
-                    px = dec(payload, fmt)
+                    row.update(compute(payload, fmt))
                     row["decode_ok"] = True
-                    row["dec_height"] = int(px.shape[0])
-                    row["dec_width"] = int(px.shape[1])
-                    row["channels"] = int(px.shape[2]) if px.ndim == 3 else 1
-                    row["mean_intensity"] = float(px.mean(dtype=np.float64))
-                    row["std_intensity"] = float(px.std(dtype=np.float64))
-                except Exception as e:  # noqa: BLE001 — violation-row contract:
-                    # a production decoder can raise OSError/struct.error/
-                    # IndexError on truncated payloads; all become a
-                    # decode_err row rather than failing the whole job.
-                    row["decode_err"] = str(e)
+                except Exception as e:  # noqa: BLE001 — violation-row contract
+                    row["decode_err"] = f"{type(e).__name__}: {e}"
                 for k, v in row.items():
                     out[k].append(v)
-            res = pd.DataFrame(out, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields])
+            res = pd.DataFrame(out, columns=[f.name for f in stats_schema.fields])
             for c in passthrough:
                 res[c] = pdf[c].to_numpy()
             yield res
 
     cols = list(dict.fromkeys(["media_id", "payload", "fmt"] + passthrough))
     return media.select(*cols).mapInPandas(op, schema=out_schema)
+
+
+def media_decode_stats(media: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """Per-item decode + pixel stats via mapInPandas (audio decode_stats
+    pattern): one Arrow batch in, fixed-width stats out, payload dropped."""
+
+    def compute(payload, fmt):
+        px = _DECODERS.get(fmt, unregistered_decoder)(payload, fmt)
+        return {
+            "dec_height": int(px.shape[0]),
+            "dec_width": int(px.shape[1]),
+            "channels": int(px.shape[2]) if px.ndim == 3 else 1,
+            "mean_intensity": float(px.mean(dtype=np.float64)),
+            "std_intensity": float(px.std(dtype=np.float64)),
+        }
+
+    return _decode_stats_map(media, MEDIA_STATS_SCHEMA, compute, passthrough)
 
 
 # encoder: (h, w, c) uint8 array, fmt -> payload bytes (inverse of Decoder)
@@ -345,56 +359,24 @@ VIDEO_STATS_SCHEMA = T.StructType(
 def video_decode_stats(
     media: DataFrame, passthrough: list[str] | None = None
 ) -> DataFrame:
-    """Per-clip video decode + stats via mapInPandas (the media_decode_stats
-    pattern): one Arrow batch in, fixed-width stats out, payload dropped at
+    """Per-clip video decode + stats via the shared ``_decode_stats_map``
+    harness: one Arrow batch in, fixed-width stats out, payload dropped at
     the operator boundary so the binary column never shuffles. Undecodable
     payloads become decode_err rows (violation-row contract)."""
-    passthrough = [
-        c
-        for c in (passthrough or [])
-        if c not in {f.name for f in VIDEO_STATS_SCHEMA.fields} and c != "payload"
-    ]
-    in_fields = {f.name: f for f in media.schema.fields}
-    out_schema = T.StructType(
-        list(VIDEO_STATS_SCHEMA.fields) + [in_fields[c] for c in passthrough]
-    )
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out: dict[str, list] = {f.name: [] for f in VIDEO_STATS_SCHEMA.fields}
-            for payload, fmt, mid in zip(pdf["payload"], pdf["fmt"], pdf["media_id"]):
-                row: dict = {f.name: None for f in VIDEO_STATS_SCHEMA.fields}
-                row.update(
-                    media_id=mid,
-                    decode_ok=False,
-                    n_bytes=len(payload) if payload is not None else None,
-                )
-                try:
-                    dec = _VIDEO_DECODERS.get(fmt, unregistered_video_decoder)
-                    frames, fps = dec(payload, fmt)
-                    row["decode_ok"] = True
-                    row["n_frames"] = int(frames.shape[0])
-                    row["dec_height"] = int(frames.shape[1])
-                    row["dec_width"] = int(frames.shape[2])
-                    row["fps"] = float(fps)
-                    row["duration_ms"] = (
-                        float(frames.shape[0] / fps * 1000.0) if fps > 0 else None
-                    )
-                    row["mean_intensity"] = float(frames.mean(dtype=np.float64))
-                    row["std_intensity"] = float(frames.std(dtype=np.float64))
-                except Exception as e:  # noqa: BLE001 — violation-row contract
-                    row["decode_err"] = f"{type(e).__name__}: {e}"
-                for k, v in row.items():
-                    out[k].append(v)
-            res = pd.DataFrame(out, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields])
-            for c in passthrough:
-                res[c] = pdf[c].to_numpy()
-            yield res
+    def compute(payload, fmt):
+        frames, fps = _VIDEO_DECODERS.get(fmt, unregistered_video_decoder)(payload, fmt)
+        return {
+            "n_frames": int(frames.shape[0]),
+            "dec_height": int(frames.shape[1]),
+            "dec_width": int(frames.shape[2]),
+            "fps": float(fps),
+            "duration_ms": float(frames.shape[0] / fps * 1000.0) if fps > 0 else None,
+            "mean_intensity": float(frames.mean(dtype=np.float64)),
+            "std_intensity": float(frames.std(dtype=np.float64)),
+        }
 
-    cols = list(dict.fromkeys(["media_id", "payload", "fmt"] + passthrough))
-    return media.select(*cols).mapInPandas(op, schema=out_schema)
+    return _decode_stats_map(media, VIDEO_STATS_SCHEMA, compute, passthrough)
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

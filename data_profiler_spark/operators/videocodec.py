@@ -14,9 +14,12 @@ Scope (correctness-first, documented):
 - Container: 'RIFF'/'AVI ' with LIST 'hdrl' (avih + one 'strl' of
   strh/strf) and LIST 'movi'; a standard 'idx1' index is written (players
   expect it) but ignored on read — frames are recovered by walking 'movi'.
-- Frames: uncompressed 24-bpp BGR bottom-up DIB ('00db'/'00dc' chunks,
-  BI_RGB, rows padded to 4 bytes) — the rawvideo profile every AVI tool
-  (ffmpeg -c:v rawvideo, VirtualDub full-uncompressed) reads and writes.
+- Frames: uncompressed 24-bpp BGR DIB ('00db'/'00dc' chunks, BI_RGB, rows
+  padded to 4 bytes), bottom-up (positive biHeight — what the encoder
+  writes) or top-down (negative biHeight) — the rawvideo profile every AVI
+  tool (ffmpeg -c:v rawvideo, VirtualDub full-uncompressed) reads and
+  writes. Non-video sibling streams (e.g. a PCM audio track) are skipped,
+  including their strf, which is a WAVEFORMAT blob, not a bitmap header.
 - fps carried as strh dwRate/dwScale (authoritative) with the avih
   microseconds-per-frame mirror kept consistent by the encoder.
 - Anything outside this envelope (compressed fourccs, other bit depths,
@@ -71,6 +74,8 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     padded[:, :, : w * 3] = arr[:, ::-1, :, ::-1].reshape(n, h, w * 3)
 
     scale, rate = 1000, int(round(fps * 1000))
+    if rate <= 0:
+        raise ValueError(f"avi: fps {fps} rounds to a zero millihertz rate")
     usec = int(round(1_000_000 * scale / rate))
     avih = struct.pack(
         "<14I", usec, frame_size * rate // scale, 0, 0x10, n, 0, 1,
@@ -137,6 +142,7 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
     width = height = None
     scale = rate = None
     handler = None
+    top_down = False
     frames_extent = None
     for fourcc, body, size in _walk_chunks(payload, 12, end):
         if fourcc != b"LIST":
@@ -150,20 +156,28 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
                     vals = struct.unpack_from("<10I", payload, sbody)
                     width, height = vals[8], vals[9]
                 elif sub == b"LIST" and payload[sbody : sbody + 4] == b"strl":
+                    # strh precedes strf inside a strl; track THIS stream's
+                    # fccType so a non-video sibling stream's strf (e.g. a
+                    # 40-byte WAVEFORMATEXTENSIBLE for a PCM audio track)
+                    # is never parsed as a BITMAPINFOHEADER.
+                    stream_type = None
                     for s2, s2body, s2size in _walk_chunks(
                         payload, sbody + 4, sbody + ssize
                     ):
                         if s2 == b"strh":
                             if s2size < 32:
                                 raise ValueError("avi: strh chunk too short")
-                            if payload[s2body : s2body + 4] != b"vids":
+                            stream_type = payload[s2body : s2body + 4]
+                            if stream_type != b"vids":
                                 continue  # non-video stream: skip
                             handler = payload[s2body + 4 : s2body + 8]
                             # dwScale/dwRate live at +20/+24 past fccType
                             scale, rate = struct.unpack_from(
                                 "<II", payload, s2body + 20
                             )
-                        elif s2 == b"strf" and s2size >= 40:
+                        elif (
+                            s2 == b"strf" and stream_type == b"vids" and s2size >= 40
+                        ):
                             biw, bih = struct.unpack_from("<ii", payload, s2body + 4)
                             _, bpp = struct.unpack_from("<HH", payload, s2body + 12)
                             comp = struct.unpack_from("<I", payload, s2body + 16)[0]
@@ -175,7 +189,9 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
                                 raise ValueError(
                                     f"avi: only BI_RGB (0) compression supported, got {comp}"
                                 )
-                            width, height = biw, abs(bih)
+                            # negative biHeight = top-down row order (valid,
+                            # some encoders emit it): skip the bottom-up flip
+                            width, height, top_down = biw, abs(bih), bih < 0
         elif list_type == b"movi":
             frames_extent = (body + 4, body + size)
 
@@ -200,7 +216,10 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
         rows = np.frombuffer(payload, dtype=np.uint8, count=size, offset=body).reshape(
             height, rb
         )
-        frames.append(rows[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1])
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        if not top_down:  # bottom-up DIB (positive biHeight): flip rows
+            px = px[::-1]
+        frames.append(px[:, :, ::-1])  # BGR → RGB
     if not frames:
         raise ValueError("avi: movi list contains no video frames")
     fps = (rate / scale) if (scale and rate) else 0.0

@@ -92,6 +92,63 @@ def test_avi_bad_magic_and_wrong_sizes():
         vc.decode_avi(bytes(bad))
 
 
+def test_avi_top_down_dib_decodes_unflipped():
+    """Negative biHeight = top-down row order (valid, some encoders emit
+    it): the decoder must NOT apply the bottom-up flip. Build one by
+    negating biHeight and reversing the stored row order of an encoded
+    bottom-up file — the pixels must come back identical."""
+    fr = _frames(1, 4, 3, seed=7)
+    b = bytearray(vc.encode_avi(fr, fps=10.0))
+    strf_at = b.find(b"strf") + 8
+    _, w, h = struct.unpack_from("<Iii", b, strf_at)
+    struct.pack_into("<i", b, strf_at + 8, -h)  # biHeight → negative
+    rb = (w * 3 + 3) & ~3
+    frame_at = b.find(b"00db") + 8
+    rows = [bytes(b[frame_at + r * rb : frame_at + (r + 1) * rb]) for r in range(h)]
+    b[frame_at : frame_at + rb * h] = b"".join(reversed(rows))
+    out, _ = vc.decode_avi(bytes(b))
+    assert np.array_equal(out, fr)
+
+
+def test_avi_audio_stream_strf_is_not_parsed_as_bitmap():
+    """An AVI with a video strl plus an audio strl whose strf is a 40-byte
+    WAVEFORMAT blob must decode fine: the audio strf's wBitsPerSample must
+    never be read as a bitmap bpp (it would raise 'only 24-bpp')."""
+    fr = _frames(2, 4, 4, seed=3)
+    b = vc.encode_avi(fr, fps=10.0)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    auds_strh = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 16000, 0, 16000, 0, 0, 2)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    # 40-byte WAVEFORMAT-ish blob: wBitsPerSample=16 sits where a bitmap
+    # header keeps biBitCount
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x00" * 24
+    auds_strl = lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+
+    # splice the audio strl into the hdrl LIST (after the video strl)
+    hdrl_at = b.find(b"hdrl") - 8  # position of the LIST fourcc
+    hdrl_size = struct.unpack_from("<I", b, hdrl_at + 4)[0]
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    out = bytearray(b[:hdrl_end] + auds_strl + b[hdrl_end:])
+    struct.pack_into("<I", out, hdrl_at + 4, hdrl_size + len(auds_strl))
+    struct.pack_into("<I", out, 4, len(out) - 8)  # RIFF size
+    dec, fps = vc.decode_avi(bytes(out))
+    assert np.array_equal(dec, fr) and fps == pytest.approx(10.0)
+
+
+def test_avi_tiny_fps_raises_valueerror_not_zerodivision():
+    with pytest.raises(ValueError, match="avi:"):
+        vc.encode_avi(_frames(1, 2, 2), fps=1e-4)
+
+
 def test_avi_rejects_out_of_envelope():
     with pytest.raises(ValueError, match="zero frames"):
         vc.encode_avi(np.zeros((0, 2, 2, 3), dtype=np.uint8))
