@@ -57,6 +57,35 @@ def test_psi_paired_equals_two_frame_psi(spark):
     assert got == pytest.approx(want, rel=1e-12)
 
 
+def test_psi_window_core_matches_joined_oracle_grouped(spark):
+    """The r5 window-totals core against a hand-computed per-group oracle,
+    through the GROUPED path windowed_drift uses (group_cols): random
+    per-(group, bucket) count pairs incl. zero-count buckets, PSI computed
+    independently in numpy per group."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("w1", "w2", "w3"):
+        for b in range(8):
+            c, base = int(rng.integers(0, 50)), int(rng.integers(0, 50))
+            if c or base:
+                rows.append(("v", g, b, c, base))
+    counts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["column", "grp", "bucket", "c_cnt", "b_cnt"])
+    )
+    got = {
+        r["grp"]: r["psi"]
+        for r in psi_paired(counts, group_cols=["grp"]).collect()
+    }
+    for g in ("w1", "w2", "w3"):
+        sub = [(c, b) for (_, gg, _, c, b) in rows if gg == g]
+        ca = np.array([c for c, _ in sub], dtype=float)
+        cb = np.array([b for _, b in sub], dtype=float)
+        p = ca / ca.sum() + 1e-6
+        q = cb / cb.sum() + 1e-6
+        want = float(((p - q) * np.log(p / q)).sum())
+        assert got[g] == pytest.approx(want, rel=1e-12), g
+
+
 def test_psi_matches_numpy_oracle(spark):
     rng = np.random.default_rng(3)
     a, b = rng.normal(48, 9, 3000), rng.normal(52, 11, 3000)
