@@ -1,0 +1,63 @@
+"""CSV ingest matching the reference's upload flow, end to end.
+
+The reference's file pipeline (data_directory.py:176-392 →
+data_file_functions.py:42-103 in /root/reference) is: read the CSV with
+``dtype=str`` (data_profiler.py:495), validate the header against the file
+type's required/unexpected column lists, then coerce each column to its
+declared dtype with ``errors='coerce'`` and fill the resulting nulls with
+type defaults, logging fill counts. The engine had every stage as a
+standalone operator — ``spark.read.csv``, ``checks.check_schema`` (S4),
+``checks.coercion.coerce_with_defaults`` — but not the glue that lets a
+reference user point the engine at the same CSV upload and get the same
+three artifacts. This module is that glue.
+
+Scale notes: ``spark.read.csv`` is a distributed scan (splittable for
+uncompressed files); everything downstream is the same Catalyst-only
+coercion pass the parquet path uses, so a 100 TB CSV drop behaves like any
+other table — the one inherently driver-side step is the metadata-only
+header comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_profiler_spark.checks.coercion import coerce_with_defaults
+from data_profiler_spark.checks.constraints import check_schema
+
+
+def read_csv_validated(
+    spark: SparkSession,
+    path: str,
+    dtype_map: dict[str, str],
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Read a CSV the way the reference ingests an upload.
+
+    Returns (coerced_df, fill_counts_df, header_errors):
+
+    - the file is read all-string (the reference's ``dtype=str`` probe
+      read — type opinions belong to the coercion step, not the parser);
+    - ``header_errors`` is the S4 header check against ``dtype_map``'s
+      column set (missing / unexpected columns, metadata-only, no job);
+      extra columns are reported AND dropped from the coerced frame,
+      missing ones are reported and created as all-default (the
+      reference's required-column contract: downstream code may rely on
+      the column existing);
+    - the coerced frame + per-column default-fill counts come from
+      ``coerce_with_defaults`` (try_cast semantics == pandas
+      ``errors='coerce'``; fills per data_file_constants.py:163-169).
+    """
+    raw = spark.read.option("header", str(header).lower()).csv(path)
+    expected = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in dtype_map]
+    )
+    _, header_errors = check_schema(raw, expected)
+    for c in dtype_map:
+        if c not in raw.columns:
+            raw = raw.withColumn(c, F.lit(None).cast("string"))
+    raw = raw.select(*dtype_map)  # drop unexpected columns, fix order
+    coerced, fill_counts = coerce_with_defaults(raw, dtype_map)
+    return coerced, fill_counts, header_errors

@@ -100,6 +100,37 @@ def test_clean_table_all_pass(spark):
     assert verd.count() == 2 * 4
 
 
+def test_read_csv_validated_matches_reference_upload_flow(spark, tmp_path):
+    """The reference's CSV upload ingest end to end (data_directory.py:
+    176-392 → data_file_functions.py:42-103): dtype=str read → header
+    required/unexpected check → errors='coerce' coercion → default fill
+    with per-column counts. The file carries a malformed number, a bad
+    date, an UNEXPECTED extra column (reported + dropped) and a MISSING
+    required column (reported + created all-default)."""
+    from data_profiler_spark.sources.csvio import read_csv_validated
+
+    p = tmp_path / "upload.csv"
+    p.write_text(
+        "SKU,Quantity,Surprise\n"
+        "a,1.5,x\n"
+        ",oops,y\n"
+        "c,,z\n"
+    )
+    out, counts, errors = read_csv_validated(
+        spark,
+        str(p),
+        {"SKU": "object", "Quantity": "float64", "Period": "date"},
+    )
+    assert sorted(errors) == ["missing column: Period", "unexpected column: Surprise"]
+    assert out.columns == ["SKU", "Quantity", "Period"]  # Surprise dropped
+    c = {r["column"]: r["value"] for r in counts.collect()}
+    assert c == {"SKU": 1, "Quantity": 2, "Period": 3}
+    vals = {r["SKU"]: (r["Quantity"], str(r["Period"])) for r in out.collect()}
+    assert vals["a"] == (1.5, "1900-01-01")
+    assert vals["c"] == (0.0, "1900-01-01")
+    assert vals[""] == (0.0, "1900-01-01")  # null SKU → '' default
+
+
 def test_coercion_defaults_match_reference(spark):
     """Type coercion + default fill (data_file_functions.py:90-103):
     uncastable → coerce → count → fill with type default."""
