@@ -61,3 +61,22 @@ def read_csv_validated(
     raw = raw.select(*dtype_map)  # drop unexpected columns, fix order
     coerced, fill_counts = coerce_with_defaults(raw, dtype_map)
     return coerced, fill_counts, header_errors
+
+
+def read_reference_file(
+    spark: SparkSession, path: str, file_type: str
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """``read_csv_validated`` with the reference's OWN file-type contract:
+    ``file_type`` is one of the six upload kinds (ItemMaster, InboundHeader,
+    InboundDetails, Inventory, OrderHeader, OrderDetails — the dtype maps in
+    ``schemas.REF_FILE_DTYPES``, transcribed from the reference's
+    data_file_constants.py). This is the call a reference user makes to
+    ingest the same files they upload today."""
+    from data_profiler_spark.schemas import REF_FILE_DTYPES
+
+    if file_type not in REF_FILE_DTYPES:
+        raise ValueError(
+            f"unknown reference file type {file_type!r}; "
+            f"expected one of {sorted(REF_FILE_DTYPES)}"
+        )
+    return read_csv_validated(spark, path, REF_FILE_DTYPES[file_type])

@@ -131,6 +131,31 @@ def test_read_csv_validated_matches_reference_upload_flow(spark, tmp_path):
     assert vals[""] == (0.0, "1900-01-01")  # null SKU → '' default
 
 
+def test_read_reference_file_inventory_contract(spark, tmp_path):
+    """The six-file upload contract end to end for Inventory.csv: the
+    reference's dtype map (data_file_constants.py transcription in
+    schemas.REF_FILE_DTYPES) drives coercion — Period parses as a date,
+    Quantity as float64, malformed cells fill with type defaults and are
+    counted, a clean header yields no errors."""
+    from data_profiler_spark.sources.csvio import read_reference_file
+
+    p = tmp_path / "Inventory.csv"
+    p.write_text(
+        "SKU,UnitOfMeasure,Location,Lot,LPN,Subwarehouse,Period,Quantity\n"
+        "a,EA,L1,lot1,lpn1,w1,2024-01-02,5\n"
+        "b,EA,L2,lot2,lpn2,w1,not-a-date,oops\n"
+    )
+    out, counts, errors = read_reference_file(spark, str(p), "Inventory")
+    assert errors == []
+    vals = {r["SKU"]: (str(r["Period"]), r["Quantity"]) for r in out.collect()}
+    assert vals["a"] == ("2024-01-02", 5.0)
+    assert vals["b"] == ("1900-01-01", 0.0)  # coerce-failed → type defaults
+    c = {r["column"]: r["value"] for r in counts.collect()}
+    assert c["Period"] == 1 and c["Quantity"] == 1 and c["SKU"] == 0
+    with pytest.raises(ValueError, match="unknown reference file type"):
+        read_reference_file(spark, str(p), "NotAFile")
+
+
 def test_coercion_defaults_match_reference(spark):
     """Type coercion + default fill (data_file_functions.py:90-103):
     uncastable → coerce → count → fill with type default."""
