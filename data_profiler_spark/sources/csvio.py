@@ -28,18 +28,11 @@ from data_profiler_spark.checks.coercion import coerce_with_defaults
 from data_profiler_spark.checks.constraints import check_schema
 
 
-def read_csv_validated(
-    spark: SparkSession,
-    path: str,
-    dtype_map: dict[str, str],
-    header: bool = True,
+def _validate_and_coerce(
+    raw: DataFrame, dtype_map: dict[str, str]
 ) -> tuple[DataFrame, DataFrame, list[str]]:
-    """Read a CSV the way the reference ingests an upload.
+    """The shared tail of the upload flow, on an all-string frame:
 
-    Returns (coerced_df, fill_counts_df, header_errors):
-
-    - the file is read all-string (the reference's ``dtype=str`` probe
-      read — type opinions belong to the coercion step, not the parser);
     - ``header_errors`` is the S4 header check against ``dtype_map``'s
       column set (missing / unexpected columns, metadata-only, no job);
       extra columns are reported AND dropped from the coerced frame,
@@ -50,7 +43,6 @@ def read_csv_validated(
       ``coerce_with_defaults`` (try_cast semantics == pandas
       ``errors='coerce'``; fills per data_file_constants.py:163-169).
     """
-    raw = spark.read.option("header", str(header).lower()).csv(path)
     expected = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in dtype_map]
     )
@@ -63,15 +55,50 @@ def read_csv_validated(
     return coerced, fill_counts, header_errors
 
 
+def read_csv_validated(
+    spark: SparkSession,
+    path: str,
+    dtype_map: dict[str, str],
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Read a CSV the way the reference ingests an upload: an all-string
+    distributed read (the reference's ``dtype=str`` probe — type opinions
+    belong to the coercion step, not the parser) into the shared
+    validate-and-coerce tail. Returns (coerced_df, fill_counts_df,
+    header_errors)."""
+    raw = spark.read.option("header", str(header).lower()).csv(path)
+    return _validate_and_coerce(raw, dtype_map)
+
+
+def read_upload_validated(
+    spark: SparkSession,
+    path: str,
+    dtype_map: dict[str, str],
+    sheet: str | None = None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """The reference's upload entry point accepts BOTH csv and xlsx
+    (data_directory.py file dispatch); so does this: extension-dispatched
+    into the same all-string read → header check → coerce+fill tail. The
+    xlsx path rides the engine's zero-dep OOXML reader
+    (sinks/excel.read_xlsx, schema=None = dtype-str semantics); driver-side
+    by nature (one uploaded workbook), the CSV path is a distributed scan.
+    """
+    if path.lower().endswith((".xlsx", ".xlsm")):
+        from data_profiler_spark.sinks.excel import read_xlsx
+
+        return _validate_and_coerce(read_xlsx(spark, path, sheet=sheet), dtype_map)
+    return read_csv_validated(spark, path, dtype_map)
+
+
 def read_reference_file(
     spark: SparkSession, path: str, file_type: str
 ) -> tuple[DataFrame, DataFrame, list[str]]:
-    """``read_csv_validated`` with the reference's OWN file-type contract:
-    ``file_type`` is one of the six upload kinds (ItemMaster, InboundHeader,
-    InboundDetails, Inventory, OrderHeader, OrderDetails — the dtype maps in
-    ``schemas.REF_FILE_DTYPES``, transcribed from the reference's
-    data_file_constants.py). This is the call a reference user makes to
-    ingest the same files they upload today."""
+    """``read_upload_validated`` with the reference's OWN file-type
+    contract: ``file_type`` is one of the six upload kinds (ItemMaster,
+    InboundHeader, InboundDetails, Inventory, OrderHeader, OrderDetails —
+    the dtype maps in ``schemas.REF_FILE_DTYPES``, transcribed from the
+    reference's data_file_constants.py). This is the call a reference user
+    makes to ingest the same csv/xlsx files they upload today."""
     from data_profiler_spark.schemas import REF_FILE_DTYPES
 
     if file_type not in REF_FILE_DTYPES:
@@ -79,4 +106,4 @@ def read_reference_file(
             f"unknown reference file type {file_type!r}; "
             f"expected one of {sorted(REF_FILE_DTYPES)}"
         )
-    return read_csv_validated(spark, path, REF_FILE_DTYPES[file_type])
+    return read_upload_validated(spark, path, REF_FILE_DTYPES[file_type])

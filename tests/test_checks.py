@@ -156,6 +156,33 @@ def test_read_reference_file_inventory_contract(spark, tmp_path):
         read_reference_file(spark, str(p), "NotAFile")
 
 
+def test_read_upload_validated_xlsx_same_flow(spark, tmp_path):
+    """The upload entry point dispatches xlsx through the zero-dep OOXML
+    reader into the SAME validate-and-coerce tail as CSV: an Inventory
+    workbook with one malformed date round-trips through write_xlsx →
+    read_reference_file with identical coercion/fill semantics."""
+    from data_profiler_spark.sinks.excel import write_xlsx
+    from data_profiler_spark.sources.csvio import read_reference_file
+
+    df = spark.createDataFrame(
+        [
+            ("a", "EA", "L1", "lot1", "lpn1", "w1", "2024-01-02", "5"),
+            ("b", "EA", "L2", "lot2", "lpn2", "w1", "nope", "7.5"),
+        ],
+        "SKU string, UnitOfMeasure string, Location string, Lot string, "
+        "LPN string, Subwarehouse string, Period string, Quantity string",
+    )
+    p = str(tmp_path / "Inventory.xlsx")
+    write_xlsx([("Inventory", df)], p)
+    out, counts, errors = read_reference_file(spark, p, "Inventory")
+    assert errors == []
+    vals = {r["SKU"]: (str(r["Period"]), r["Quantity"]) for r in out.collect()}
+    assert vals["a"] == ("2024-01-02", 5.0)
+    assert vals["b"] == ("1900-01-01", 7.5)
+    c = {r["column"]: r["value"] for r in counts.collect()}
+    assert c["Period"] == 1 and c["Quantity"] == 0
+
+
 def test_coercion_defaults_match_reference(spark):
     """Type coercion + default fill (data_file_functions.py:90-103):
     uncastable → coerce → count → fill with type default."""
