@@ -138,6 +138,34 @@ _IM_FLOAT = [
 _IM_INT = ["InnerQuantity", "CartonQuantity", "CartonsPerPallet", "PalletTie", "PalletHigh", "MaxPalletStack"]
 
 REF_FILE_DTYPES: dict[str, dict[str, str]] = {
+    # Combined Regular-directory uploads (data_file_constants.py
+    # INBOUND_DTYPES/OUTBOUND_DTYPES): one flat file per flow that the
+    # ingest splits into header/details via group-by-first
+    # (sources/csvio.split_header_details; ref data_directory.py:420-441)
+    "Inbound": {
+        **{
+            c: "object"
+            for c in [
+                "PO_Number", "SKU", "UnitOfMeasure", "Carrier", "Mode",
+                "ShipmentNumber", "UnloadType", "VendorID", "SourcePoint",
+            ]
+        },
+        "Quantity": "float64",
+        **{c: "date" for c in ["ArrivalDate", "ExpectedDate"]},
+        **{c: "time" for c in ["ArrivalTime", "ExpectedTime"]},
+    },
+    "Outbound": {
+        **{
+            c: "object"
+            for c in [
+                "OrderNumber", "SKU", "UnitOfMeasure", "PickType", "Channel",
+                "BusinessUnit", "ShipContainerType", "SpecialHandlingCodes",
+                "Carrier",
+            ]
+        },
+        "Quantity": "float64",
+        **{c: "date" for c in ["ReceivedDate", "PickDate", "ShipDate"]},
+    },
     "ItemMaster": {
         **{c: "object" for c in _IM_STR},
         **{c: "float64" for c in _IM_FLOAT},

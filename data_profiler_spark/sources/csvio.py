@@ -90,6 +90,55 @@ def read_upload_validated(
     return read_csv_validated(spark, path, dtype_map)
 
 
+def split_header_details(
+    df: DataFrame, key: str, header_cols: list[str], detail_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split a combined fact upload into (header, details) tables — the
+    Regular-directory flow (ref data_directory.py:420-441: pandas
+    ``groupby(key).aggregate('first')`` per header column + a detail
+    projection).
+
+    Semantics match pandas exactly, made deterministic for a distributed
+    engine: 'first' in pandas means first NON-NULL in file order, so each
+    header column aggregates ``min_by(col, seq-where-non-null)`` over a
+    ``monotonically_increasing_id`` captured at entry (file order for a
+    single-file scan; for pre-shuffled input pass an explicit order column
+    as an extra sort beforehand). One shuffle on the key, map-side
+    combinable — never a window (a 10^9-line PO would funnel one task).
+    """
+    seq = df.withColumn("__seq", F.monotonically_increasing_id())
+    header = seq.groupBy(key).agg(
+        *[
+            F.expr(
+                f"min_by(`{c}`, CASE WHEN `{c}` IS NOT NULL THEN __seq END)"
+            ).alias(c)
+            for c in header_cols
+        ]
+    )
+    return header, df.select(key, *detail_cols)
+
+
+def split_inbound(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Combined Inbound upload → (InboundHeader, InboundDetails) with the
+    reference's exact column split (data_file_constants.py
+    INBOUND_HEADER_COLS/INBOUND_DETAILS_COLS)."""
+    from data_profiler_spark.schemas import REF_FILE_DTYPES
+
+    h = [c for c in REF_FILE_DTYPES["InboundHeader"] if c != "PO_Number"]
+    d = [c for c in REF_FILE_DTYPES["InboundDetails"] if c != "PO_Number"]
+    return split_header_details(df, "PO_Number", h, d)
+
+
+def split_outbound(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Combined Outbound upload → (OrderHeader, OrderDetails) with the
+    reference's exact column split (ORDER_HEADER_COLS/ORDER_DETAILS_COLS)."""
+    from data_profiler_spark.schemas import REF_FILE_DTYPES
+
+    h = [c for c in REF_FILE_DTYPES["OrderHeader"] if c != "OrderNumber"]
+    d = [c for c in REF_FILE_DTYPES["OrderDetails"] if c != "OrderNumber"]
+    return split_header_details(df, "OrderNumber", h, d)
+
+
 def read_reference_file(
     spark: SparkSession, path: str, file_type: str
 ) -> tuple[DataFrame, DataFrame, list[str]]:

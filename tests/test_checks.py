@@ -183,6 +183,61 @@ def test_read_upload_validated_xlsx_same_flow(spark, tmp_path):
     assert c["Period"] == 1 and c["Quantity"] == 0
 
 
+def test_split_inbound_matches_pandas_groupby_first(spark, tmp_path):
+    """The Regular-directory split (data_directory.py:420-441): a combined
+    Inbound.csv with repeated PO rows splits into header (first non-null
+    per column in file order, one row per PO) + details (projection). The
+    pandas oracle is computed directly on the same coerced frame."""
+    from data_profiler_spark.sources.csvio import read_reference_file, split_inbound
+
+    p = tmp_path / "Inbound.csv"
+    p.write_text(
+        "PO_Number,SKU,UnitOfMeasure,Quantity,ArrivalDate,ArrivalTime,"
+        "ExpectedDate,ExpectedTime,Carrier,Mode,ShipmentNumber,UnloadType,"
+        "VendorID,SourcePoint\n"
+        "P1,s1,EA,1,2024-01-02,08:00:00,2024-01-01,07:00:00,,Road,SH1,Live,V1,SP1\n"
+        "P1,s2,EA,2,2024-01-02,08:00:00,2024-01-01,07:00:00,ACME,Road,SH1,Live,V1,SP1\n"
+        "P2,s1,EA,3,2024-02-02,09:00:00,2024-02-01,06:00:00,BEST,Rail,SH2,Drop,V2,SP2\n"
+    )
+    combined, _, errors = read_reference_file(spark, str(p), "Inbound")
+    assert errors == []
+    header, details = split_inbound(combined)
+    hd = {r["PO_Number"]: r.asDict() for r in header.collect()}
+    assert sorted(hd) == ["P1", "P2"]
+    # the coercion pass fills the empty Carrier with '' (the reference
+    # fills BEFORE splitting too), so 'first' sees the filled value
+    assert hd["P1"]["Carrier"] == "" and hd["P2"]["Carrier"] == "BEST"
+    assert str(hd["P1"]["ArrivalDate"]) == "2024-01-02"
+    assert hd["P1"]["ShipmentNumber"] == "SH1"
+    det = details.collect()
+    assert len(det) == 3
+    assert sorted(details.columns) == sorted(
+        ["PO_Number", "SKU", "UnitOfMeasure", "Quantity", "VendorID", "SourcePoint"]
+    )
+    # pandas oracle on the same coerced frame
+    pdf = combined.toPandas()
+    want = pdf.groupby("PO_Number").aggregate({"Carrier": "first"}).reset_index()
+    got = {r["PO_Number"]: r["Carrier"] for r in header.collect()}
+    for _, row in want.iterrows():
+        assert got[row["PO_Number"]] == row["Carrier"]
+
+
+def test_split_header_details_first_nonnull_in_order(spark):
+    """Pre-fill semantics of the split itself: with genuine nulls in a
+    header column, 'first' takes the first NON-NULL in sequence order —
+    pandas GroupBy.aggregate('first') behavior, pinned directly."""
+    from data_profiler_spark.sources.csvio import split_header_details
+
+    df = spark.createDataFrame(
+        [("P1", None, "d1"), ("P1", "late", "d2"), ("P2", None, "d3")],
+        "k string, h string, d string",
+    )
+    header, details = split_header_details(df, "k", ["h"], ["d"])
+    got = {r["k"]: r["h"] for r in header.collect()}
+    assert got == {"P1": "late", "P2": None}
+    assert details.count() == 3
+
+
 def test_coercion_defaults_match_reference(spark):
     """Type coercion + default fill (data_file_functions.py:90-103):
     uncastable → coerce → count → fill with type default."""
