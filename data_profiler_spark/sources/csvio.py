@@ -139,6 +139,152 @@ def split_outbound(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return split_header_details(df, "OrderNumber", h, d)
 
 
+REFERENCE_DIRECTORY_FILES: dict[str, list[str]] = {
+    # the reference's two data-directory layouts (data_directory.py):
+    # HEADERS dirs carry pre-split header/details files; REGULAR dirs carry
+    # combined Inbound/Outbound that the ingest splits (split_inbound/
+    # split_outbound)
+    "headers": [
+        "ItemMaster", "InboundHeader", "InboundDetails",
+        "OrderHeader", "OrderDetails", "Inventory",
+    ],
+    "regular": ["ItemMaster", "Inbound", "Outbound", "Inventory"],
+}
+
+
+def _empty_key_violations(df: DataFrame, key: str, name: str) -> DataFrame:
+    """Reference validate_primary_keys (functions.py:57-64): falsy keys —
+    null or empty after the default fill — one violation per DISTINCT bad
+    value (the reference builds its key lists with .unique())."""
+    bad = (
+        df.select(key)
+        .filter(F.col(key).isNull() | (F.trim(F.col(key)) == ""))
+        .distinct()
+    )
+    return bad.select(
+        F.lit(name).alias("check_name"),
+        F.col(key).cast("string").alias("clip_id"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit("null or empty primary key").alias("detail"),
+    )
+
+
+def validate_upload_directory(
+    spark: SparkSession, path: str, directory_type: str = "headers"
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """The reference's whole data-directory validation, lazily declared:
+    ``DataDirectory.read_and_validate_file_contents``
+    (data_directory.py:176-392) as one pass over the engine's operators.
+
+    Returns (frames, violations):
+
+    - ``frames``: each expected file (csv or xlsx accepted) read through
+      ``read_reference_file`` — dtype=str read, header check, coerce+fill;
+      REGULAR directories additionally get InboundHeader/InboundDetails/
+      OrderHeader/OrderDetails synthesized via the group-by-first split,
+      so downstream consumers see the same six-table shape either way.
+    - ``violations``: ONE frame (check_name, clip_id, partition_id,
+      detail) carrying every finding — missing files (`file_present`),
+      header errors (`header_conformance`), the reference's falsy-PK
+      checks (distinct values, per validate_primary_keys), and its five
+      FK ⊆ PK checks (anti-joins on distinct keys, per
+      check_mismatching_primary_key_values; the receipt/order checks run
+      only for HEADERS dirs — REGULAR dirs build headers from the same
+      rows, so those hold by construction). The reference fail-fasts on
+      any finding; the analogous driver decision here is
+      ``violations.limit(1).count() == 0`` — a tiny aggregate over a
+      lazily-declared plan instead of an eager per-file pipeline.
+
+    The reference does NOT check PK uniqueness here (duplicate SKUs reach
+    its transform step); callers wanting that add
+    ``checks.check_unique(frames["ItemMaster"], key="SKU")`` to the union.
+    """
+    import os
+
+    from data_profiler_spark.checks.constraints import check_referential
+    from data_profiler_spark.functions.frames import local_frame
+
+    if directory_type not in REFERENCE_DIRECTORY_FILES:
+        raise ValueError(
+            f"unknown directory type {directory_type!r}; "
+            f"expected one of {sorted(REFERENCE_DIRECTORY_FILES)}"
+        )
+    frames: dict[str, DataFrame] = {}
+    meta_rows: list[tuple] = []
+    for ft in REFERENCE_DIRECTORY_FILES[directory_type]:
+        fp = next(
+            (
+                os.path.join(path, ft + ext)
+                for ext in (".csv", ".xlsx")
+                if os.path.exists(os.path.join(path, ft + ext))
+            ),
+            None,
+        )
+        if fp is None:
+            meta_rows.append(("file_present", ft, None, "expected file missing"))
+            continue
+        df, _, errors = read_reference_file(spark, fp, ft)
+        frames[ft] = df
+        meta_rows.extend(("header_conformance", ft, None, e) for e in errors)
+
+    if directory_type == "regular":
+        if "Inbound" in frames:
+            frames["InboundHeader"], frames["InboundDetails"] = split_inbound(
+                frames["Inbound"]
+            )
+        if "Outbound" in frames:
+            frames["OrderHeader"], frames["OrderDetails"] = split_outbound(
+                frames["Outbound"]
+            )
+
+    branches: list[DataFrame] = [
+        local_frame(
+            spark,
+            meta_rows,
+            "check_name string, clip_id string, partition_id int, detail string",
+        )
+    ]
+    im = frames.get("ItemMaster")
+    if im is not None:
+        branches.append(_empty_key_violations(im, "SKU", "im_sku_not_empty"))
+        for child_name, check in [
+            ("InboundDetails" if directory_type == "headers" else "Inbound",
+             "inbound_sku_in_item_master"),
+            ("Inventory", "inventory_sku_in_item_master"),
+            ("OrderDetails" if directory_type == "headers" else "Outbound",
+             "outbound_sku_in_item_master"),
+        ]:
+            child = frames.get(child_name)
+            if child is not None:
+                branches.append(
+                    check_referential(
+                        child, im, key="SKU", name=check,
+                        detail=f"{child_name} SKU not in Item Master",
+                    )
+                )
+    if directory_type == "headers":
+        for hdr, det, key, pk_name, fk_name in [
+            ("InboundHeader", "InboundDetails", "PO_Number",
+             "ibh_po_not_empty", "inbound_details_po_in_header"),
+            ("OrderHeader", "OrderDetails", "OrderNumber",
+             "obh_order_not_empty", "order_details_order_in_header"),
+        ]:
+            h, d = frames.get(hdr), frames.get(det)
+            if h is not None:
+                branches.append(_empty_key_violations(h, key, pk_name))
+            if h is not None and d is not None:
+                branches.append(
+                    check_referential(
+                        d, h, key=key, name=fk_name,
+                        detail=f"{det} {key} not in {hdr}",
+                    )
+                )
+    violations = branches[0]
+    for b in branches[1:]:
+        violations = violations.unionByName(b)
+    return frames, violations
+
+
 def read_reference_file(
     spark: SparkSession, path: str, file_type: str
 ) -> tuple[DataFrame, DataFrame, list[str]]:

@@ -238,6 +238,96 @@ def test_split_header_details_first_nonnull_in_order(spark):
     assert details.count() == 3
 
 
+def _write_headers_dir(tmp_path, *, break_things: bool):
+    im = "SKU,SKUDescription,SKUClass,ProductLine,UnitOfMeasure," + ",".join(
+        f"{u}{d}" for u in ("Each", "Inner", "Carton", "Pallet")
+        for d in ("Length", "Width", "Height", "Weight")
+    ) + ",InnerQuantity,CartonQuantity,CartonsPerPallet,PalletTie,PalletHigh,MaxPalletStack,Subwarehouse\n"
+    dims = ",".join(["1"] * 16)
+    im += f"s1,d,c,p,EA,{dims},1,1,1,1,1,1,w1\n"
+    im += f"{'' if break_things else 's2'},d,c,p,EA,{dims},1,1,1,1,1,1,w1\n"
+    (tmp_path / "ItemMaster.csv").write_text(im)
+    (tmp_path / "InboundHeader.csv").write_text(
+        "PO_Number,ArrivalDate,ArrivalTime,ExpectedDate,ExpectedTime,Carrier,Mode,ShipmentNumber,UnloadType\n"
+        "P1,2024-01-02,08:00:00,2024-01-01,07:00:00,A,Road,SH1,Live\n"
+    )
+    ibd_sku = "zzz" if break_things else "s1"
+    (tmp_path / "InboundDetails.csv").write_text(
+        "PO_Number,SKU,UnitOfMeasure,Quantity,VendorID,SourcePoint\n"
+        f"P1,{ibd_sku},EA,5,V1,SP1\n"
+    )
+    (tmp_path / "OrderHeader.csv").write_text(
+        "OrderNumber,ReceivedDate,PickDate,ShipDate,Channel\n"
+        "O1,2024-01-02,2024-01-03,2024-01-04,Web\n"
+    )
+    obd_order = "O9" if break_things else "O1"
+    (tmp_path / "OrderDetails.csv").write_text(
+        "OrderNumber,SKU,UnitOfMeasure,PickType,Quantity,BusinessUnit,ShipContainerType,SpecialHandlingCodes,Carrier\n"
+        f"{obd_order},s1,EA,Each,2,BU,Box,,A\n"
+    )
+    if not break_things:
+        (tmp_path / "Inventory.csv").write_text(
+            "Period,SKU,Quantity,UnitOfMeasure,Location,Lot,LPN,Subwarehouse\n"
+            "2024-01-01,s1,3,EA,L1,lot,lpn,w1\n"
+        )
+
+
+def test_validate_upload_directory_headers_clean(spark, tmp_path):
+    from data_profiler_spark.sources.csvio import validate_upload_directory
+
+    _write_headers_dir(tmp_path, break_things=False)
+    frames, violations = validate_upload_directory(spark, str(tmp_path), "headers")
+    assert sorted(frames) == [
+        "InboundDetails", "InboundHeader", "Inventory",
+        "ItemMaster", "OrderDetails", "OrderHeader",
+    ]
+    assert violations.count() == 0  # the reference's valid_data=True path
+
+
+def test_validate_upload_directory_headers_seeded_violations(spark, tmp_path):
+    """Every reference check fires on a seeded bad directory: missing
+    Inventory file, empty ItemMaster SKU (falsy-PK, distinct), an
+    InboundDetails SKU not in Item Master, and an OrderDetails order
+    number not in OrderHeader (data_directory.py:290-360 semantics)."""
+    from data_profiler_spark.sources.csvio import validate_upload_directory
+
+    _write_headers_dir(tmp_path, break_things=True)
+    frames, violations = validate_upload_directory(spark, str(tmp_path), "headers")
+    got = {(r["check_name"], r["clip_id"]) for r in violations.collect()}
+    assert ("file_present", "Inventory") in got
+    assert ("im_sku_not_empty", "") in got
+    assert ("inbound_sku_in_item_master", "zzz") in got
+    assert ("order_details_order_in_header", "O9") in got
+    assert len(got) == 4  # nothing else fires
+
+
+def test_validate_upload_directory_regular_splits_and_checks(spark, tmp_path):
+    """REGULAR layout: combined Inbound/Outbound are read, split into the
+    same six-table shape, and SKU referential checks run against the
+    combined frames (the reference's non-HEADERS branch)."""
+    from data_profiler_spark.sources.csvio import validate_upload_directory
+
+    _write_headers_dir(tmp_path, break_things=False)
+    for f in ("InboundHeader", "InboundDetails", "OrderHeader", "OrderDetails"):
+        (tmp_path / f"{f}.csv").unlink()
+    (tmp_path / "Inbound.csv").write_text(
+        "PO_Number,SKU,UnitOfMeasure,Quantity,ArrivalDate,ArrivalTime,"
+        "ExpectedDate,ExpectedTime,Carrier,Mode,ShipmentNumber,UnloadType,VendorID,SourcePoint\n"
+        "P1,s1,EA,1,2024-01-02,08:00:00,2024-01-01,07:00:00,A,Road,SH1,Live,V1,SP1\n"
+        "P1,nope,EA,2,2024-01-02,08:00:00,2024-01-01,07:00:00,A,Road,SH1,Live,V1,SP1\n"
+    )
+    (tmp_path / "Outbound.csv").write_text(
+        "OrderNumber,SKU,UnitOfMeasure,PickType,Quantity,ReceivedDate,PickDate,"
+        "ShipDate,Channel,BusinessUnit,ShipContainerType,SpecialHandlingCodes,Carrier\n"
+        "O1,s1,EA,Each,2,2024-01-02,2024-01-03,2024-01-04,Web,BU,Box,,A\n"
+    )
+    frames, violations = validate_upload_directory(spark, str(tmp_path), "regular")
+    assert {"InboundHeader", "InboundDetails", "OrderHeader", "OrderDetails"} <= set(frames)
+    assert frames["InboundHeader"].count() == 1  # P1 collapsed by the split
+    got = {(r["check_name"], r["clip_id"]) for r in violations.collect()}
+    assert got == {("inbound_sku_in_item_master", "nope")}
+
+
 def test_coercion_defaults_match_reference(spark):
     """Type coercion + default fill (data_file_functions.py:90-103):
     uncastable → coerce → count → fill with type default."""
