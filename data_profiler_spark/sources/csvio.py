@@ -203,6 +203,7 @@ def validate_upload_directory(
 
     from data_profiler_spark.checks.constraints import check_referential
     from data_profiler_spark.functions.frames import local_frame
+    from data_profiler_spark.functions.windows import pin_cache
 
     if directory_type not in REFERENCE_DIRECTORY_FILES:
         raise ValueError(
@@ -224,7 +225,13 @@ def validate_upload_directory(
             meta_rows.append(("file_present", ft, None, "expected file missing"))
             continue
         df, _, errors = read_reference_file(spark, fp, ft)
-        frames[ft] = df
+        # pin: the reference caches the six frames on the object
+        # (data_directory.py:383-388) and every frame here feeds several
+        # check branches (PK + up to three referential sides) — unpinned,
+        # each branch would re-read and re-coerce the file. Registered on
+        # the shared cache ledger (functions.windows.release_cumsum_caches
+        # releases them).
+        frames[ft] = pin_cache(df)
         meta_rows.extend(("header_conformance", ft, None, e) for e in errors)
 
     if directory_type == "regular":
