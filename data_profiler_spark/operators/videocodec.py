@@ -144,6 +144,8 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
     handler = None
     top_down = False
     frames_extent = None
+    stream_index = -1  # strl position = stream index in movi chunk ids
+    video_stream = 0
     for fourcc, body, size in _walk_chunks(payload, 12, end):
         if fourcc != b"LIST":
             continue
@@ -159,17 +161,25 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
                     # strh precedes strf inside a strl; track THIS stream's
                     # fccType so a non-video sibling stream's strf (e.g. a
                     # 40-byte WAVEFORMATEXTENSIBLE for a PCM audio track)
-                    # is never parsed as a BITMAPINFOHEADER.
+                    # is never parsed as a BITMAPINFOHEADER. The strl's
+                    # POSITION is the stream index movi chunk ids carry
+                    # ('01db' = stream 1), so remember which one is video.
                     stream_type = None
+                    stream_index += 1
                     for s2, s2body, s2size in _walk_chunks(
                         payload, sbody + 4, sbody + ssize
                     ):
                         if s2 == b"strh":
-                            if s2size < 32:
-                                raise ValueError("avi: strh chunk too short")
+                            # fccType first: a malformed strh in a SIBLING
+                            # stream must not fail the video decode — the
+                            # skip-non-video contract; only the video
+                            # stream's strh is held to the size floor.
                             stream_type = payload[s2body : s2body + 4]
                             if stream_type != b"vids":
                                 continue  # non-video stream: skip
+                            if s2size < 32:
+                                raise ValueError("avi: video strh chunk too short")
+                            video_stream = stream_index
                             handler = payload[s2body + 4 : s2body + 8]
                             # dwScale/dwRate live at +20/+24 past fccType
                             scale, rate = struct.unpack_from(
@@ -205,8 +215,9 @@ def decode_avi(payload: bytes, fmt: str = "avi") -> tuple[np.ndarray, float]:
     rb = _row_bytes(width)
     frame_size = rb * height
     frames = []
+    vid_prefix = b"%02d" % video_stream  # '01db' = stream 1's frames
     for fourcc, body, size in _walk_chunks(payload, *frames_extent):
-        if fourcc not in (b"00db", b"00dc"):
+        if fourcc[:2] != vid_prefix or fourcc[2:4] not in (b"db", b"dc"):
             continue
         if size != frame_size:
             raise ValueError(

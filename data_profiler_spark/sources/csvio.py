@@ -109,8 +109,8 @@ def split_header_details(
     seq = df.withColumn("__seq", F.monotonically_increasing_id())
     header = seq.groupBy(key).agg(
         *[
-            F.expr(
-                f"min_by(`{c}`, CASE WHEN `{c}` IS NOT NULL THEN __seq END)"
+            F.min_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.col("__seq"))
             ).alias(c)
             for c in header_cols
         ]
@@ -153,12 +153,14 @@ REFERENCE_DIRECTORY_FILES: dict[str, list[str]] = {
 
 
 def _empty_key_violations(df: DataFrame, key: str, name: str) -> DataFrame:
-    """Reference validate_primary_keys (functions.py:57-64): falsy keys —
-    null or empty after the default fill — one violation per DISTINCT bad
-    value (the reference builds its key lists with .unique())."""
+    """Reference validate_primary_keys (functions.py:57-64): FALSY keys —
+    null or '' (exactly ``if not key``; a whitespace-only key like ' ' is
+    truthy there and passes, so it passes here too) — one violation per
+    DISTINCT bad value (the reference builds its key lists with
+    .unique())."""
     bad = (
         df.select(key)
-        .filter(F.col(key).isNull() | (F.trim(F.col(key)) == ""))
+        .filter(F.col(key).isNull() | (F.col(key) == ""))
         .distinct()
     )
     return bad.select(
@@ -216,7 +218,8 @@ def validate_upload_directory(
         fp = next(
             (
                 os.path.join(path, ft + ext)
-                for ext in (".csv", ".xlsx")
+                # every extension read_upload_validated dispatches on
+                for ext in (".csv", ".xlsx", ".xlsm")
                 if os.path.exists(os.path.join(path, ft + ext))
             ),
             None,

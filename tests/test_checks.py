@@ -301,6 +301,37 @@ def test_validate_upload_directory_headers_seeded_violations(spark, tmp_path):
     assert len(got) == 4  # nothing else fires
 
 
+def test_whitespace_key_passes_falsy_check_like_reference(spark):
+    """Reference validate_primary_keys is `if not key`: a whitespace-only
+    key is truthy and passes; only null/'' are flagged."""
+    from data_profiler_spark.sources.csvio import _empty_key_violations
+
+    df = spark.createDataFrame(
+        [(" ",), ("",), (None,), ("ok",)], "SKU string"
+    )
+    got = {r["clip_id"] for r in _empty_key_violations(df, "SKU", "x").collect()}
+    assert got == {"", None}
+
+
+def test_validate_upload_directory_accepts_xlsm(spark, tmp_path):
+    """Directory probe accepts every extension the ingest dispatches on —
+    an Inventory.xlsm must not be reported missing."""
+    from data_profiler_spark.sinks.excel import write_xlsx
+    from data_profiler_spark.sources.csvio import validate_upload_directory
+
+    _write_headers_dir(tmp_path, break_things=False)
+    (tmp_path / "Inventory.csv").unlink()
+    df = spark.createDataFrame(
+        [("2024-01-01", "s1", "3", "EA", "L1", "lot", "lpn", "w1")],
+        "Period string, SKU string, Quantity string, UnitOfMeasure string, "
+        "Location string, Lot string, LPN string, Subwarehouse string",
+    )
+    write_xlsx([("Inventory", df)], str(tmp_path / "Inventory.xlsm"))
+    frames, violations = validate_upload_directory(spark, str(tmp_path), "headers")
+    assert "Inventory" in frames
+    assert violations.count() == 0
+
+
 def test_validate_upload_directory_regular_splits_and_checks(spark, tmp_path):
     """REGULAR layout: combined Inbound/Outbound are read, split into the
     same six-table shape, and SKU referential checks run against the

@@ -144,6 +144,64 @@ def test_avi_audio_stream_strf_is_not_parsed_as_bitmap():
     assert np.array_equal(dec, fr) and fps == pytest.approx(10.0)
 
 
+def _splice_audio_strl(b: bytes, *, before_video: bool, short_strh: bool = False) -> bytes:
+    """Insert an audio strl into the hdrl LIST, before or after the video
+    strl; when inserted BEFORE, the video stream becomes stream 1, so its
+    movi frame chunks must be renamed 00db→01db to stay a valid file."""
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    strh_body = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 16000, 0, 16000, 0, 0, 2)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    if short_strh:
+        strh_body = b"auds" + b"\x00" * 8  # 12 bytes, below the 32-byte floor
+    strf_body = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x00" * 24
+    auds_strl = lst(b"strl", chunk(b"strh", strh_body) + chunk(b"strf", strf_body))
+
+    hdrl_at = b.find(b"hdrl") - 8
+    hdrl_size = struct.unpack_from("<I", b, hdrl_at + 4)[0]
+    if before_video:
+        insert_at = b.find(b"LIST", b.find(b"avih"))  # before the video strl
+    else:
+        insert_at = hdrl_at + 8 + hdrl_size  # end of hdrl
+    out = bytearray(b[:insert_at] + auds_strl + b[insert_at:])
+    struct.pack_into("<I", out, hdrl_at + 4, hdrl_size + len(auds_strl))
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    if before_video:
+        idx = out.find(b"00db")
+        while idx != -1:
+            out[idx : idx + 2] = b"01"
+            idx = out.find(b"00db", idx + 4)
+    return bytes(out)
+
+
+def test_avi_video_as_second_stream_decodes():
+    """The stream index rides the movi chunk ids ('01db' = stream 1): an
+    AVI whose audio strl comes FIRST must still decode its video frames."""
+    fr = _frames(2, 4, 4, seed=9)
+    out = _splice_audio_strl(vc.encode_avi(fr, fps=10.0), before_video=True)
+    dec, fps = vc.decode_avi(out)
+    assert np.array_equal(dec, fr) and fps == pytest.approx(10.0)
+
+
+def test_avi_short_strh_in_sibling_stream_is_skipped():
+    """A malformed strh in a NON-video sibling stream must not fail the
+    decode — only the video stream's strh is held to the size floor."""
+    fr = _frames(1, 3, 3, seed=4)
+    out = _splice_audio_strl(
+        vc.encode_avi(fr, fps=10.0), before_video=False, short_strh=True
+    )
+    dec, _ = vc.decode_avi(out)
+    assert np.array_equal(dec, fr)
+
+
 def test_avi_tiny_fps_raises_valueerror_not_zerodivision():
     with pytest.raises(ValueError, match="avi:"):
         vc.encode_avi(_frames(1, 2, 2), fps=1e-4)
