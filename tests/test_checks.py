@@ -4,6 +4,8 @@ violation rows — mirroring DataDirectoryValidation.errors_list semantics
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -357,6 +359,35 @@ def test_validate_upload_directory_regular_splits_and_checks(spark, tmp_path):
     assert frames["InboundHeader"].count() == 1  # P1 collapsed by the split
     got = {(r["check_name"], r["clip_id"]) for r in violations.collect()}
     assert got == {("inbound_sku_in_item_master", "nope")}
+
+
+def test_validate_directory_job_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """The spark-submit entrypoint around validate_upload_directory: JSON
+    summary with per-check counts, violations parquet, coerced tables with
+    --write-tables, and the reference's fail-fast as exit code 1."""
+    import sys as _sys
+
+    from jobs import validate_directory
+
+    _write_headers_dir(tmp_path, break_things=True)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        ["validate_directory.py", "--path", str(tmp_path), "--type", "headers",
+         "--output", out, "--write-tables"],
+    )
+    assert validate_directory.main() == 1  # fail-fast shell contract
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["passed"] is False and report["violations"] == 4
+    assert set(report["per_check"]) == {
+        "file_present", "im_sku_not_empty",
+        "inbound_sku_in_item_master", "order_details_order_in_header",
+    }
+    v = spark.read.parquet(f"{out}/directory_violations")
+    assert v.count() == 4
+    im = spark.read.parquet(f"{out}/tables/ItemMaster")
+    assert im.count() == 2
 
 
 def test_coercion_defaults_match_reference(spark):
