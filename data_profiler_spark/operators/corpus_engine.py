@@ -265,6 +265,19 @@ def _outlier_sql() -> str:
 PSI_LO, PSI_HI, PSI_N = 0.0, 200.0, 20
 
 
+def _psi_bucket() -> F.Column:
+    """Shared fixed-edge bucketizer for the PSI entries: clip-to-edge
+    semantics (bucket 0 below lo, PSI_N+1 at/above hi, 1..PSI_N inside),
+    matching the engine's HISTOGRAM_SCHEMA convention."""
+    width = (PSI_HI - PSI_LO) / PSI_N
+    v = F.col("value")
+    return (
+        F.when(v < PSI_LO, F.lit(0))
+        .when(v >= PSI_HI, F.lit(PSI_N + 1))
+        .otherwise(F.floor((v - PSI_LO) / width) + 1)
+    )
+
+
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of purchase-event values vs the view/click baseline, through the
     engine's psi_paired() pipeline: both populations live in the SAME events
@@ -276,19 +289,13 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence is pinned by tests/test_drift.py); events appears exactly
     once in this entry's plan (tests/test_plan_audit.py)."""
     ev = T(spark, sf_dir, "events")
-    width = (PSI_HI - PSI_LO) / PSI_N
     v = F.col("value")
-    bucket = (
-        F.when(v < PSI_LO, F.lit(0))
-        .when(v >= PSI_HI, F.lit(PSI_N + 1))
-        .otherwise(F.floor((v - PSI_LO) / width) + 1)
-    )
     is_cur = F.col("event_type") == "purchase"
     counts = (
         ev.filter(
             v.isNotNull() & F.col("event_type").isin("purchase", "view", "click")
         )
-        .groupBy(bucket.cast("int").alias("bucket"))
+        .groupBy(_psi_bucket().cast("int").alias("bucket"))
         .agg(
             F.sum(is_cur.cast("long")).alias("c_cnt"),
             F.sum((~is_cur).cast("long")).alias("b_cnt"),
@@ -318,6 +325,31 @@ SELECT 'value' AS "column",
        ROUND(SUM((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6 - (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))
              * ln((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) / (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))), 6) AS psi
 FROM j, t
+"""
+
+
+# Grouped PSI (r5 slot-reclaim extension of drift_scores): the same
+# purchase-vs-view/click comparison scored independently PER EVENT DAY —
+# the psi_paired(group_cols=...) core that streaming windowed drift
+# replicates per event-time window, previously pinned only by the numpy
+# property test. Same bucketing, same ε, same single-scan counts.
+GROUPED_PSI_SQL = f"""
+WITH j AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
+              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_cnt,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS b_cnt
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'view', 'click')
+        AND ts IS NOT NULL
+  GROUP BY 1, 2
+), t AS (SELECT day, SUM(c_cnt) AS c_tot, SUM(b_cnt) AS b_tot FROM j GROUP BY 1)
+SELECT 'value' AS "column", j.day AS day,
+       ROUND(SUM(((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) - (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))
+             * ln((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) / (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))), 6) AS psi
+FROM j JOIN t USING (day)
+GROUP BY 1, 2
 """
 
 
@@ -541,14 +573,55 @@ FROM c GROUP BY event_type
 
 def drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's drift report in one frame (r3 slot reclaim: psi_drift +
-    ks_exact_drift merged — both computations unchanged, union'd into the
-    long format the production drift table uses): one row per drift metric,
-    (metric, value, n). PSI rides the histogram-join pipeline, KS the exact
+    ks_exact_drift merged; r5 extends it with GROUPED per-day PSI — the
+    psi_paired(group_cols=...) core streaming windowed drift replicates per
+    event-time window, previously pinned only by the numpy property test —
+    without spending a corpus slot): one row per drift metric,
+    (metric, value, n). PSI rides the histogram pipeline, KS the exact
     applyInPandas path vs the md5-sampled baseline — both engine paths stay
-    fully exercised and fully oracled."""
-    p = psi_drift(spark, sf_dir).select(
+    fully exercised and fully oracled.
+
+    Scan shape: ONE events pass builds the (day, bucket)-grain conditional
+    counts, pinned; the global PSI re-aggregates those integer counts across
+    days (exactly psi_drift's bucket-grain counts, so the 'psi:value' row
+    is unchanged) and the grouped PSI scores each day from the same pinned
+    frame — the old two-branch shape would have paid a second full events
+    scan for the day grain. KS keeps its own raw-value scan (not derivable
+    from any histogram)."""
+    from data_profiler_spark.functions.windows import pin_cache
+
+    ev = T(spark, sf_dir, "events")
+    is_cur = F.col("event_type") == "purchase"
+    day_counts = pin_cache(
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view", "click")
+        )
+        .groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            _psi_bucket().cast("int").alias("bucket"),
+        )
+        .agg(
+            F.sum(is_cur.cast("long")).alias("c_cnt"),
+            F.sum((~is_cur).cast("long")).alias("b_cnt"),
+        )
+        .withColumn("column", F.lit("value"))
+    )
+    global_counts = day_counts.groupBy("column", "bucket").agg(
+        F.sum("c_cnt").alias("c_cnt"), F.sum("b_cnt").alias("b_cnt")
+    )
+    p = psi_paired(global_counts).select(
         F.concat(F.lit("psi:"), F.col("column")).alias("metric"),
-        F.col("psi").alias("value"),
+        F.round("psi", 6).alias("value"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    gp = psi_paired(
+        day_counts.filter(F.col("day").isNotNull()), group_cols=["day"]
+    ).select(
+        F.concat(F.lit("psi:"), F.col("column"), F.lit(":"), F.col("day")).alias(
+            "metric"
+        ),
+        F.round("psi", 6).alias("value"),
         F.lit(None).cast("long").alias("n"),
     )
     k = ks_exact_drift(spark, sf_dir).select(
@@ -556,12 +629,16 @@ def drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ks_d").alias("value"),
         F.col("n"),
     )
-    return p.unionByName(k)
+    return p.unionByName(gp).unionByName(k)
 
 
 DRIFT_SCORES_SQL = f"""
 SELECT 'psi:' || "column" AS metric, psi AS value, CAST(NULL AS BIGINT) AS n
 FROM ({PSI_DRIFT_SQL})
+UNION ALL
+SELECT 'psi:' || "column" || ':' || day AS metric, psi AS value,
+       CAST(NULL AS BIGINT) AS n
+FROM ({GROUPED_PSI_SQL})
 UNION ALL
 SELECT 'ks:' || event_type AS metric, ks_d AS value, n
 FROM ({KS_EXACT_SQL})

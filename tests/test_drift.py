@@ -131,3 +131,30 @@ def test_ks_exact_by_group(spark):
     got = {r["g"]: r["ks_d"] for r in ks_exact_by_group(df, "v", ["g"], base).collect()}
     assert got["same"] < 0.05
     assert got["shift"] > 0.3
+
+
+def test_drift_scores_global_row_matches_psi_drift(spark):
+    """The r5 drift_scores fusion derives the global 'psi:value' row by
+    re-aggregating the pinned (day, bucket)-grain counts across days; that
+    must stay bit-identical (at the entry's 6-dp rounding) to psi_drift's
+    direct bucket-grain aggregation, and the grouped rows must cover every
+    event day exactly once."""
+    from data_profiler_spark.operators.corpus_engine import drift_scores, psi_drift
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["metric"]: r["value"] for r in drift_scores(spark, sf).collect()}
+    direct = psi_drift(spark, sf).collect()[0]["psi"]
+    assert rows["psi:value"] == direct
+    days = sorted(m.split(":")[2] for m in rows if m.startswith("psi:value:"))
+    expected = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view", "click")
+        )
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .collect()
+    )
+    assert days == expected and len(days) > 1
