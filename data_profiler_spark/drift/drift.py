@@ -94,6 +94,38 @@ def _psi_of_joined(joined: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def ks_binned_paired(
+    counts: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Binned KS from a pre-paired per-bucket counts frame — the single-scan
+    shape, exactly :func:`psi_paired`'s relationship to :func:`psi`.
+
+    ``counts`` carries (column, *group_cols, bucket, c_cnt, b_cnt). When both
+    populations' histograms come out of ONE conditional aggregation,
+    :func:`ks_binned` would full-outer-join two projections of the same frame
+    and broadcast-join totals back — four extra tiny stages per call. Here the
+    CDFs and totals come from two windows over the same partitioning (one
+    exchange), then a groupBy on the already-hash-partitioned keys. Identical
+    output (a bucket absent from one population is a 0 count either way —
+    pinned by tests/test_drift.py)."""
+    keys = ["column", *(group_cols or [])]
+    tot_w = Window.partitionBy(*keys)
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = F.abs(
+        F.sum("c_cnt").over(cum_w) / F.sum("c_cnt").over(tot_w)
+        - F.sum("b_cnt").over(cum_w) / F.sum("b_cnt").over(tot_w)
+    )
+    return (
+        counts.select(*keys, d.alias("__d"))
+        .groupBy(*keys)
+        .agg(F.max("__d").alias("ks_d"))
+    )
+
+
 def ks_binned(
     current_hist: DataFrame,
     baseline_hist: DataFrame,

@@ -21,7 +21,8 @@ the window. Slots were reclaimed by merging, not dropping, coverage:
 - drift_scores = psi_drift + ks_exact_drift (both computations unchanged,
   union'd into the production drift table's long format); r5 folds in the
   grouped per-day PSI core (psi_paired(group_cols=...), the windowed-drift
-  shape) from the same single pinned events scan as the global row
+  shape) and global + per-day binned KS (ks_binned_paired) from the same
+  single pinned events scan as the global row
 - hll_distinct absorbed distinct_counts_exact (one fused agg emits the
   A7/A8 exact universes plus the A9 sketch bounds)
 

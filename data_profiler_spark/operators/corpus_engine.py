@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from data_profiler_spark.audio.decode import decode_stats
 from data_profiler_spark.checks import constraints
-from data_profiler_spark.drift.drift import ks_exact_by_group, psi_paired
+from data_profiler_spark.drift.drift import ks_binned_paired, ks_exact_by_group, psi_paired
 from data_profiler_spark.fixtures import generate_clips
 from data_profiler_spark.operators.corpus_relational import T
 from data_profiler_spark.profiling.profile import column_profile, outlier_counts
@@ -328,13 +328,11 @@ FROM j, t
 """
 
 
-# Grouped PSI (r5 slot-reclaim extension of drift_scores): the same
-# purchase-vs-view/click comparison scored independently PER EVENT DAY —
-# the psi_paired(group_cols=...) core that streaming windowed drift
-# replicates per event-time window, previously pinned only by the numpy
-# property test. Same bucketing, same ε, same single-scan counts.
-GROUPED_PSI_SQL = f"""
-WITH j AS (
+# Shared day-grain conditional counts — the SQL twin of the ONE pinned
+# events aggregation drift_scores builds (purchase = current population,
+# view/click = baseline), at (day, bucket) grain so every drift metric
+# derives from it without another scan.
+_DAY_COUNTS_CTE = f"""
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
               ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
@@ -344,12 +342,56 @@ WITH j AS (
   WHERE value IS NOT NULL AND event_type IN ('purchase', 'view', 'click')
         AND ts IS NOT NULL
   GROUP BY 1, 2
+"""
+
+
+# Grouped PSI (r5 slot-reclaim extension of drift_scores): the same
+# purchase-vs-view/click comparison scored independently PER EVENT DAY —
+# the psi_paired(group_cols=...) core that streaming windowed drift
+# replicates per event-time window, previously pinned only by the numpy
+# property test. Same bucketing, same ε, same single-scan counts.
+GROUPED_PSI_SQL = f"""
+WITH j AS ({_DAY_COUNTS_CTE}
 ), t AS (SELECT day, SUM(c_cnt) AS c_tot, SUM(b_cnt) AS b_tot FROM j GROUP BY 1)
 SELECT 'value' AS "column", j.day AS day,
        ROUND(SUM(((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) - (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))
              * ln((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) / (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))), 6) AS psi
 FROM j JOIN t USING (day)
 GROUP BY 1, 2
+"""
+
+
+# Binned KS (r5, same slot-reclaim): drift.ks_binned — the histogram-CDF
+# KS approximation the production drift job scores baselines with — was
+# only approximation-tested (test_drift.py vs exact KS); these rows put it
+# through the value-hash oracle, global AND per-day, from the same pinned
+# counts frame. D = max_b |CDF_cur(b) − CDF_base(b)| over bucket order.
+BINNED_KS_SQL = f"""
+WITH j AS ({_DAY_COUNTS_CTE}
+), g AS (
+  SELECT bucket, SUM(c_cnt) AS c_cnt, SUM(b_cnt) AS b_cnt FROM j GROUP BY 1
+), gc AS (
+  SELECT SUM(c_cnt) OVER (ORDER BY bucket) AS cum_c,
+         SUM(b_cnt) OVER (ORDER BY bucket) AS cum_b,
+         SUM(c_cnt) OVER () AS ct, SUM(b_cnt) OVER () AS bt
+  FROM g
+), dc AS (
+  SELECT day,
+         SUM(c_cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum_c,
+         SUM(b_cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum_b,
+         SUM(c_cnt) OVER (PARTITION BY day) AS ct,
+         SUM(b_cnt) OVER (PARTITION BY day) AS bt
+  FROM j
+)
+SELECT 'ksb:value' AS metric,
+       ROUND(MAX(ABS(cum_c / CAST(ct AS DOUBLE) - cum_b / CAST(bt AS DOUBLE))), 6) AS value,
+       CAST(NULL AS BIGINT) AS n
+FROM gc
+UNION ALL
+SELECT 'ksb:value:' || day AS metric,
+       ROUND(MAX(ABS(cum_c / CAST(ct AS DOUBLE) - cum_b / CAST(bt AS DOUBLE))), 6) AS value,
+       CAST(NULL AS BIGINT) AS n
+FROM dc GROUP BY day
 """
 
 
@@ -576,18 +618,19 @@ def drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks_exact_drift merged; r5 extends it with GROUPED per-day PSI — the
     psi_paired(group_cols=...) core streaming windowed drift replicates per
     event-time window, previously pinned only by the numpy property test —
-    without spending a corpus slot): one row per drift metric,
-    (metric, value, n). PSI rides the histogram pipeline, KS the exact
-    applyInPandas path vs the md5-sampled baseline — both engine paths stay
-    fully exercised and fully oracled.
+    and with global + per-day binned KS via ks_binned_paired, all without
+    spending a corpus slot): one row per drift metric, (metric, value, n).
+    PSI and binned KS ride the histogram pipeline, exact KS the
+    applyInPandas path vs the md5-sampled baseline — every engine drift
+    path stays fully exercised and fully oracled.
 
     Scan shape: ONE events pass builds the (day, bucket)-grain conditional
-    counts, pinned; the global PSI re-aggregates those integer counts across
-    days (exactly psi_drift's bucket-grain counts, so the 'psi:value' row
-    is unchanged) and the grouped PSI scores each day from the same pinned
-    frame — the old two-branch shape would have paid a second full events
-    scan for the day grain. KS keeps its own raw-value scan (not derivable
-    from any histogram)."""
+    counts, pinned; the global PSI/KS re-aggregate those integer counts
+    across days (exactly psi_drift's bucket-grain counts, so the
+    'psi:value' row is unchanged) and the grouped metrics score each day
+    from the same pinned frame — the old two-branch shape would have paid
+    a second full events scan for the day grain. Exact KS keeps its own
+    raw-value scan (not derivable from any histogram)."""
     from data_profiler_spark.functions.windows import pin_cache
 
     ev = T(spark, sf_dir, "events")
@@ -624,12 +667,31 @@ def drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi", 6).alias("value"),
         F.lit(None).cast("long").alias("n"),
     )
+    # binned KS (drift.ks_binned_paired — the histogram-CDF approximation
+    # the production drift job scores with, in the paired single-scan shape;
+    # identical to ks_binned, pinned by test_drift.py) through the
+    # value-hash oracle, global and per-day, from the SAME pinned counts —
+    # no extra events pass, no self-join of the counts frame.
+    kb = ks_binned_paired(global_counts).select(
+        F.concat(F.lit("ksb:"), F.col("column")).alias("metric"),
+        F.round("ks_d", 6).alias("value"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    kbd = ks_binned_paired(
+        day_counts.filter(F.col("day").isNotNull()), group_cols=["day"]
+    ).select(
+        F.concat(F.lit("ksb:"), F.col("column"), F.lit(":"), F.col("day")).alias(
+            "metric"
+        ),
+        F.round("ks_d", 6).alias("value"),
+        F.lit(None).cast("long").alias("n"),
+    )
     k = ks_exact_drift(spark, sf_dir).select(
         F.concat(F.lit("ks:"), F.col("event_type")).alias("metric"),
         F.col("ks_d").alias("value"),
         F.col("n"),
     )
-    return p.unionByName(gp).unionByName(k)
+    return p.unionByName(gp).unionByName(kb).unionByName(kbd).unionByName(k)
 
 
 DRIFT_SCORES_SQL = f"""
@@ -639,6 +701,8 @@ UNION ALL
 SELECT 'psi:' || "column" || ':' || day AS metric, psi AS value,
        CAST(NULL AS BIGINT) AS n
 FROM ({GROUPED_PSI_SQL})
+UNION ALL
+SELECT metric, value, n FROM ({BINNED_KS_SQL})
 UNION ALL
 SELECT 'ks:' || event_type AS metric, ks_d AS value, n
 FROM ({KS_EXACT_SQL})

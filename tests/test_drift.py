@@ -158,3 +158,44 @@ def test_drift_scores_global_row_matches_psi_drift(spark):
         .collect()
     )
     assert days == expected and len(days) > 1
+
+
+def test_ks_binned_paired_equals_two_frame_ks(spark):
+    """ks_binned_paired (single-scan paired-counts shape) == ks_binned
+    (two-histogram full-outer-join shape), including one-sided buckets —
+    the same contract psi_paired holds vs psi."""
+    from data_profiler_spark.drift import ks_binned_paired
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(35, 6, 3000)
+    b = rng.normal(58, 9, 3000)
+    lo, hi, nb = 0.0, 100.0, 20
+    cur, base = _hist(spark, a, lo, hi, nb), _hist(spark, b, lo, hi, nb)
+    want = ks_binned(cur, base).collect()[0]["ks_d"]
+
+    counts = (
+        cur.selectExpr("column", "bucket", "count AS c_cnt", "CAST(0 AS LONG) AS b_cnt")
+        .unionByName(
+            base.selectExpr(
+                "column", "bucket", "CAST(0 AS LONG) AS c_cnt", "count AS b_cnt"
+            )
+        )
+        .groupBy("column", "bucket")
+        .agg(F.sum("c_cnt").alias("c_cnt"), F.sum("b_cnt").alias("b_cnt"))
+    )
+    got = ks_binned_paired(counts).collect()[0]["ks_d"]
+    assert got == pytest.approx(want, rel=1e-12)
+
+    # grouped: two groups with different shift sizes must score independently
+    # and match the two-frame shape per group
+    g_counts = counts.withColumn("g", F.lit("g1")).unionByName(
+        counts.withColumn("g", F.lit("g2")).withColumn(
+            "b_cnt", F.col("c_cnt")  # g2: baseline == current → D = 0
+        )
+    )
+    rows = {
+        r["g"]: r["ks_d"]
+        for r in ks_binned_paired(g_counts, group_cols=["g"]).collect()
+    }
+    assert rows["g1"] == pytest.approx(want, rel=1e-12)
+    assert rows["g2"] == pytest.approx(0.0, abs=1e-15)
