@@ -70,6 +70,11 @@ def psi_paired(counts: DataFrame, group_cols: list[str] | None = None) -> DataFr
     ε-smoothing, identical output (a bucket absent from one population is a
     0 count here exactly as the full-outer join + fillna(0) yields there —
     pinned by tests/test_drift.py).
+
+    Precondition: ``counts`` must be at (column, *group_cols, bucket) grain —
+    a bucket split across several rows gets the ε smoothing once per row and
+    inflates the score (unlike :func:`ks_binned_paired`, whose RANGE-frame
+    CDF absorbs duplicates). Re-aggregate first if the frame isn't grouped.
     """
     keys = ["column", *(group_cols or [])]
     return _psi_of_joined(counts, keys)
@@ -107,13 +112,21 @@ def ks_binned_paired(
     CDFs and totals come from two windows over the same partitioning (one
     exchange), then a groupBy on the already-hash-partitioned keys. Identical
     output (a bucket absent from one population is a 0 count either way —
-    pinned by tests/test_drift.py)."""
+    pinned by tests/test_drift.py).
+
+    The cumulative window uses a RANGE frame, so a bucket that appears on
+    several input rows (e.g. two histograms stacked without re-grouping)
+    contributes all its rows to every CDF point at or past it — the result
+    is the same as pre-aggregating to (keys, bucket) grain, with no extra
+    shuffle and no order-dependence on tied buckets (a ROWS frame would
+    evaluate shuffle-dependent mid-bucket CDF points; pinned by
+    tests/test_drift.py)."""
     keys = ["column", *(group_cols or [])]
     tot_w = Window.partitionBy(*keys)
     cum_w = (
         Window.partitionBy(*keys)
         .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
     d = F.abs(
         F.sum("c_cnt").over(cum_w) / F.sum("c_cnt").over(tot_w)

@@ -305,15 +305,20 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_paired(counts).select("column", F.round("psi", 6).alias("psi"))
 
 
+# The PSI bucket rule as SQL, interpolated into every oracle that bins
+# `value` — ONE copy, mirroring the engine's _psi_bucket(); an edge-rule
+# change edited here cannot desynchronize only some drift oracles.
+_PSI_BUCKET_SQL = f"""CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
+              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT)"""
+
+
 PSI_DRIFT_SQL = f"""
 WITH cur AS (
-  SELECT CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
-              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
+  SELECT {_PSI_BUCKET_SQL} AS bucket,
          COUNT(*) AS c_cnt
   FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
 ), base AS (
-  SELECT CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
-              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
+  SELECT {_PSI_BUCKET_SQL} AS bucket,
          COUNT(*) AS b_cnt
   FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL GROUP BY 1
 ), j AS (
@@ -331,16 +336,17 @@ FROM j, t
 # Shared day-grain conditional counts — the SQL twin of the ONE pinned
 # events aggregation drift_scores builds (purchase = current population,
 # view/click = baseline), at (day, bucket) grain so every drift metric
-# derives from it without another scan.
+# derives from it without another scan. Mirrors the Spark frame exactly:
+# no ts filter, so a NULL-ts row lands in a NULL day group and still
+# counts toward the GLOBAL metrics (exactly psi_drift's population);
+# the per-day consumers filter day IS NOT NULL explicitly below.
 _DAY_COUNTS_CTE = f"""
   SELECT strftime(ts, '%Y-%m-%d') AS day,
-         CAST(CASE WHEN value < {PSI_LO} THEN 0 WHEN value >= {PSI_HI} THEN {PSI_N + 1}
-              ELSE FLOOR((value - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_N}) + 1 END AS INT) AS bucket,
+         {_PSI_BUCKET_SQL} AS bucket,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_cnt,
          SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS b_cnt
   FROM events
   WHERE value IS NOT NULL AND event_type IN ('purchase', 'view', 'click')
-        AND ts IS NOT NULL
   GROUP BY 1, 2
 """
 
@@ -357,6 +363,7 @@ SELECT 'value' AS "column", j.day AS day,
        ROUND(SUM(((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) - (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))
              * ln((c_cnt / CAST(c_tot AS DOUBLE) + 1e-6) / (b_cnt / CAST(b_tot AS DOUBLE) + 1e-6))), 6) AS psi
 FROM j JOIN t USING (day)
+WHERE j.day IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -381,7 +388,7 @@ WITH j AS ({_DAY_COUNTS_CTE}
          SUM(b_cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum_b,
          SUM(c_cnt) OVER (PARTITION BY day) AS ct,
          SUM(b_cnt) OVER (PARTITION BY day) AS bt
-  FROM j
+  FROM j WHERE day IS NOT NULL
 )
 SELECT 'ksb:value' AS metric,
        ROUND(MAX(ABS(cum_c / CAST(ct AS DOUBLE) - cum_b / CAST(bt AS DOUBLE))), 6) AS value,

@@ -199,3 +199,98 @@ def test_ks_binned_paired_equals_two_frame_ks(spark):
     }
     assert rows["g1"] == pytest.approx(want, rel=1e-12)
     assert rows["g2"] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_ks_binned_paired_absorbs_duplicate_buckets(spark):
+    """A counts frame where one bucket is split across several rows (two
+    histograms stacked WITHOUT re-grouping) must score exactly like the
+    pre-aggregated frame: the RANGE-frame CDF includes every row of a tied
+    bucket at once, so there is no shuffle-order-dependent mid-bucket CDF
+    point. A ROWS frame breaks this — that's the regression being pinned."""
+    from data_profiler_spark.drift import ks_binned_paired
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(35, 6, 2000)
+    b = rng.normal(60, 8, 2000)
+    lo, hi, nb = 0.0, 100.0, 20
+    cur, base = _hist(spark, a, lo, hi, nb), _hist(spark, b, lo, hi, nb)
+    want = ks_binned(cur, base).collect()[0]["ks_d"]
+
+    stacked = cur.selectExpr(
+        "column", "bucket", "count AS c_cnt", "CAST(0 AS LONG) AS b_cnt"
+    ).unionByName(
+        base.selectExpr(
+            "column", "bucket", "CAST(0 AS LONG) AS c_cnt", "count AS b_cnt"
+        )
+    )
+    # no groupBy: shared buckets appear on two rows
+    got = ks_binned_paired(stacked).collect()[0]["ks_d"]
+    assert got == pytest.approx(want, rel=1e-12)
+
+    grouped = {
+        r["g"]: r["ks_d"]
+        for r in ks_binned_paired(
+            stacked.withColumn("g", F.lit("g1")).unionByName(
+                stacked.withColumn("g", F.lit("g2"))
+            ),
+            group_cols=["g"],
+        ).collect()
+    }
+    assert grouped["g1"] == pytest.approx(want, rel=1e-12)
+    assert grouped["g2"] == pytest.approx(want, rel=1e-12)
+
+
+def test_drift_scores_null_ts_matches_oracle(spark, tmp_path):
+    """NULL-ts events must count toward the GLOBAL psi/ksb rows (they are
+    part of psi_drift's population — it never looked at ts) while the
+    per-day rows exclude them. Pins the Spark entry against its DuckDB
+    oracle on data the read-only testdata doesn't have: before this test,
+    the oracle's counts CTE filtered ts IS NOT NULL and would have
+    diverged from the engine on the first NULL-ts event."""
+    import duckdb
+
+    from data_profiler_spark.operators.corpus_engine import (
+        DRIFT_SCORES_SQL,
+        drift_scores,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 48, n), unit="h"),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["purchase", "view", "click"], n),
+            "value": rng.normal(90, 30, n),
+            "props": "{}",
+        }
+    )
+    # NULL-ts rows skewed far from the rest so the global ksb/psi values
+    # visibly depend on their inclusion; one NULL value (excluded everywhere)
+    pdf.loc[:8, "ts"] = pd.NaT
+    pdf.loc[:8, "value"] = 195.0
+    pdf.loc[:4, "event_type"] = "purchase"
+    pdf.loc[5:8, "event_type"] = "view"
+    pdf.loc[9, "value"] = np.nan
+    # Spark can't read TIMESTAMP(NANOS) parquet — write microsecond precision
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r["metric"]: (r["value"], r["n"])
+        for r in drift_scores(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = {m: (v, k) for m, v, k in con.sql(DRIFT_SCORES_SQL).fetchall()}
+    assert set(got) == set(want)
+    for m in want:
+        assert got[m][0] == pytest.approx(want[m][0], abs=1e-9), m
+        assert got[m][1] == want[m][1], m
+    # the per-day keys never include a NULL day; both days are present
+    days = {m.split(":")[-1] for m in got if m.startswith("psi:value:")}
+    assert days == {"2024-03-01", "2024-03-02"}

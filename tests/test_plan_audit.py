@@ -107,9 +107,9 @@ def test_single_scan_fusions(spark):
 
     - psi_drift: ONE events scan (both populations' histograms from one
       conditional aggregation — they live in the same table, so a second
-      scan buys nothing); drift_scores builds its (month, bucket)-grain
-      counts in ONE pinned events pass feeding BOTH the global and the
-      grouped per-month PSI branches (in-plan: InMemory scans, not file
+      scan buys nothing); drift_scores builds its (day, bucket)-grain
+      counts in ONE pinned events pass feeding the global and per-day
+      PSI and binned-KS branches (in-plan: InMemory scans, not file
       scans), plus exactly one events file scan for the exact-KS raw
       values (not derivable from the PSI histogram; the md5-sampled KS
       baseline is a separate eager job by design — it stands in for a
